@@ -1,0 +1,38 @@
+from robust_nonlinear_mpc_tpu.ops.packing import pack_primal, unpack_primal
+from robust_nonlinear_mpc_tpu.ops.qp_ipm import (
+    IPMOptions,
+    QPData,
+    QPSolution,
+    QPStatics,
+    solve_qp,
+)
+from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
+    SLSRegs,
+    backoff_from_phi,
+    backward_solve,
+    evaluate_dual_eta,
+    propagate,
+    riccati_step,
+    tensor_to_matrix,
+    matrix_to_tensor,
+    tube_cost,
+)
+
+__all__ = [
+    "pack_primal",
+    "unpack_primal",
+    "IPMOptions",
+    "QPData",
+    "QPSolution",
+    "QPStatics",
+    "solve_qp",
+    "SLSRegs",
+    "backoff_from_phi",
+    "backward_solve",
+    "evaluate_dual_eta",
+    "propagate",
+    "riccati_step",
+    "tensor_to_matrix",
+    "matrix_to_tensor",
+    "tube_cost",
+]

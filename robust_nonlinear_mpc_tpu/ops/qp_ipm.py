@@ -1,0 +1,364 @@
+"""Batched horizon-structured QP solver: Riccati-KKT primal-dual interior point.
+
+This is the TPU-native replacement for the reference's OSQP/codegen front-end
+(`solver/qp_jit.py` + the generated `osqp_generated` C extension; SURVEY.md
+§2.3). Instead of a generic sparse-CSC ADMM in C, the horizon structure is
+exploited directly:
+
+  * the QP is stored as dense per-stage blocks (A_k, B_k, c_k, h_k) in
+    (N, ...) arrays — never CSC; recompile only on shape change (XLA jit),
+  * each interior-point Newton step is solved by a *block-tridiagonal Riccati
+    factorization* over the horizon (`lax.scan`), i.e. O(N) small dense
+    factorizations instead of a generic sparse LDL,
+  * everything is a pure function of pytrees -> `jax.vmap` gives thousands of
+    independent QP solves per chip, `jax.jit` fuses each iteration.
+
+Problem solved (the reference's QP contract, qp_jit.py:102-192):
+
+    min_{X,U}  sum_k x_k' Q x_k + u_k' R u_k + x_N' Qf x_N + q' y
+    s.t.       x_0 = xinit
+               x_{k+1} = A_k x_k + B_k u_k + c_k          k = 0..N-1
+               Gx x_k + Gu u_k <= h_k                     k = 0..N-1
+               Gf x_N <= hf
+
+(cost convention: y' P y + q' y with P = blkdiag(Q, R, ..., Qf), matching the
+reference's CasADi h = 2*P / OSQP P = 2*P convention, qp_jit.py:287-349).
+
+Accuracy target: the reference runs OSQP at eps_abs = eps_rel = 1e-9 with
+polish (qp_jit.py:295-306). A Mehrotra predictor-corrector IPM reaches that
+KKT accuracy in ~10-25 iterations in f64; in f32 (TPU throughput path) use
+a looser tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from robust_nonlinear_mpc_tpu.utils.numerics import mm, sym
+
+
+class QPStatics(NamedTuple):
+    """Quadratic-cost and constraint-geometry blocks (fixed across SCP iters).
+
+    Hx = 2Q, Hu = 2R, HxN = 2Qf are the Hessian blocks of y'Py + q'y.
+    """
+
+    Hx: jax.Array   # (nx, nx)
+    Hu: jax.Array   # (nu, nu)
+    HxN: jax.Array  # (nx, nx)
+    Gx: jax.Array   # (ni, nx)
+    Gu: jax.Array   # (ni, nu)
+    Gf: jax.Array   # (ni_f, nx)
+
+
+class QPData(NamedTuple):
+    """Per-solve numeric data (updated every SCP / fast-SLS iteration)."""
+
+    A: jax.Array      # (N, nx, nx)
+    B: jax.Array      # (N, nx, nu)
+    c: jax.Array      # (N, nx)   dynamics affine term (x+ = Ax + Bu + c)
+    qx: jax.Array     # (N+1, nx) linear cost on states (row N = terminal)
+    qu: jax.Array     # (N, nu)   linear cost on inputs
+    h: jax.Array      # (N, ni)   stage inequality rhs
+    hf: jax.Array     # (ni_f,)   terminal inequality rhs
+    xinit: jax.Array  # (nx,)     pinned initial state
+
+
+class QPSolution(NamedTuple):
+    X: jax.Array        # (N+1, nx)
+    U: jax.Array        # (N, nu)
+    lam: jax.Array      # (N, ni)   stage inequality duals  (>= 0)
+    lam_f: jax.Array    # (ni_f,)   terminal inequality duals
+    nu_dyn: jax.Array   # (N, nx)   dynamics equality duals
+    s: jax.Array        # (N, ni)   stage slacks
+    s_f: jax.Array      # (ni_f,)
+    cost: jax.Array     # scalar: y'Py + q'y
+    kkt_res: jax.Array  # scalar max-norm KKT residual at exit
+    iters: jax.Array    # scalar int
+    success: jax.Array  # scalar bool
+
+
+class IPMOptions(NamedTuple):
+    max_iter: int = 30
+    tol: float = 1e-9
+    tau: float = 0.995      # fraction-to-boundary
+    reg: float = 1e-11      # Levenberg regularization on F_uu
+    init_slack: float = 1.0
+
+
+# ----------------------------------------------------------------------
+# Residuals
+# ----------------------------------------------------------------------
+def _residuals(stat: QPStatics, data: QPData, X, U, lam, s, lam_f, s_f, nu_dyn):
+    N = data.A.shape[0]
+    # dynamics: A x_k + B u_k + c_k - x_{k+1}
+    req = (
+        jnp.einsum("kij,kj->ki", data.A, X[:N], precision=lax.Precision.HIGHEST)
+        + jnp.einsum("kij,kj->ki", data.B, U, precision=lax.Precision.HIGHEST)
+        + data.c
+        - X[1 : N + 1]
+    )
+    # inequalities (with slacks)
+    GzX = mm(X[:N], stat.Gx.T)
+    GzU = mm(U, stat.Gu.T)
+    rineq = GzX + GzU + s - data.h
+    rineq_f = stat.Gf @ X[N] + s_f - data.hf
+
+    # stationarity
+    # rx_k (k=1..N-1): Hx x_k + qx_k + Gx' lam_k + nu_{k-1} - A_k' nu_k
+    rx = (
+        mm(X[1:N], stat.Hx.T)
+        + data.qx[1:N]
+        + mm(lam[1:N], stat.Gx)
+        + nu_dyn[: N - 1]
+        - jnp.einsum("kji,kj->ki", data.A[1:N], nu_dyn[1:N], precision=lax.Precision.HIGHEST)
+    )
+    rxN = stat.HxN @ X[N] + data.qx[N] + stat.Gf.T @ lam_f + nu_dyn[N - 1]
+    ru = (
+        mm(U, stat.Hu.T)
+        + data.qu
+        + mm(lam, stat.Gu)
+        - jnp.einsum("kji,kj->ki", data.B, nu_dyn, precision=lax.Precision.HIGHEST)
+    )
+    return req, rineq, rineq_f, rx, rxN, ru
+
+
+def _max_abs(*arrs):
+    return jnp.max(jnp.stack([jnp.max(jnp.abs(a)) for a in arrs]))
+
+
+# ----------------------------------------------------------------------
+# Riccati factorization (once per IPM iteration)
+# ----------------------------------------------------------------------
+def _factorize(stat: QPStatics, data: QPData, W, W_f):
+    """Backward Riccati factorization of the reduced (equality-only) KKT system.
+
+    W = lam/s (N, ni). Stage Hessians after eliminating (dlam, ds):
+        Cxx_k = Hx + Gx' W_k Gx,  Cuu_k = Hu + Gu' W_k Gu,  Cxu_k = Gx' W_k Gu.
+    Returns per-stage gains and factors for fast affine re-solves.
+    """
+    Gx, Gu, Gf = stat.Gx, stat.Gu, stat.Gf
+    # batched weighted congruences: (N, ., .)
+    WGx = W[:, :, None] * Gx[None]
+    WGu = W[:, :, None] * Gu[None]
+    Cxx = stat.Hx[None] + jnp.einsum("ri,krj->kij", Gx, WGx, precision=lax.Precision.HIGHEST)
+    Cuu = stat.Hu[None] + jnp.einsum("ri,krj->kij", Gu, WGu, precision=lax.Precision.HIGHEST)
+    Cxu = jnp.einsum("ri,krj->kij", Gx, WGu, precision=lax.Precision.HIGHEST)
+    PN = stat.HxN + Gf.T @ (W_f[:, None] * Gf)
+
+    def bwd(P_next, blocks):
+        A, B, Cxx_k, Cuu_k, Cxu_k = blocks
+        PA = mm(P_next, A)          # (nx, nx)
+        PB = mm(P_next, B)          # (nx, nu)
+        Fxx = Cxx_k + mm(A.T, PA)
+        Fuu = Cuu_k + mm(B.T, PB)
+        Fxu = Cxu_k + mm(A.T, PB)
+        # Cholesky of Fuu (PD: Hu = 2R > 0)
+        n_u = Fuu.shape[0]
+        Fuu_r = sym(Fuu) + jnp.trace(Fuu) * 1e-14 * jnp.eye(n_u, dtype=Fuu.dtype)
+        L = jnp.linalg.cholesky(Fuu_r)
+        K = -jax.scipy.linalg.cho_solve((L, True), Fxu.T)   # (nu, nx)
+        P = sym(Fxx + mm(Fxu, K))
+        return P, (K, L, Fxu, P_next)
+
+    blocks = (data.A, data.B, Cxx, Cuu, Cxu)
+    _, (K, L, Fxu, P_next_seq) = lax.scan(bwd, PN, blocks, reverse=True)
+    # P_next_seq[k] = P_{k+1}
+    return K, L, Fxu, P_next_seq
+
+
+def _solve_newton(stat: QPStatics, data: QPData, fact, rbx, rbxN, rbu, req):
+    """Solve the reduced KKT system for one rhs using the cached factorization.
+
+    rbx: (N, nx) modified stationarity rhs for x_1..x_N-1 (row 0 unused),
+    rbxN: (nx,), rbu: (N, nu), req: (N, nx).
+    Returns dX (N+1, nx), dU (N, nu), dnu (N, nx).
+    """
+    K, L, Fxu, P_next_seq = fact
+    N = req.shape[0]
+    nx = req.shape[1]
+
+    rbx_full = jnp.concatenate([rbx, rbxN[None]], axis=0)  # rows 0..N (row 0 unused)
+
+    def bwd(p_next, per_k):
+        A, B, L_k, Fxu_k, Pn, rbx_k, rbu_k, req_k = per_k
+        w = p_next + mm(Pn, req_k[:, None])[:, 0]
+        f_u = rbu_k + B.T @ w
+        kff = -jax.scipy.linalg.cho_solve((L_k, True), f_u)
+        p = rbx_k + A.T @ w + Fxu_k @ kff
+        return p, (kff, p_next)
+
+    per_k = (data.A, data.B, L, Fxu, P_next_seq, rbx_full[:N], rbu, req)
+    _, (kff, p_next_seq) = lax.scan(bwd, rbxN, per_k, reverse=True)
+
+    def fwd(dx, per_k):
+        A, B, K_k, kff_k, req_k, Pn, p_next = per_k
+        du = K_k @ dx + kff_k
+        dx_next = A @ dx + B @ du + req_k
+        dnu = -(Pn @ dx_next + p_next)
+        return dx_next, (dx, du, dnu)
+
+    per_k_f = (data.A, data.B, K, kff, req, P_next_seq, p_next_seq)
+    dxN, (dX_head, dU, dnu) = lax.scan(fwd, jnp.zeros(nx, dtype=req.dtype), per_k_f)
+    dX = jnp.concatenate([dX_head, dxN[None]], axis=0)
+    return dX, dU, dnu
+
+
+def _step_to_boundary(v, dv, tau):
+    """max alpha in (0, 1] with v + alpha dv >= (1 - tau) v elementwise."""
+    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+    return jnp.minimum(1.0, tau * jnp.min(ratio))
+
+
+# ----------------------------------------------------------------------
+# Main solve
+# ----------------------------------------------------------------------
+def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> QPSolution:
+    """Solve one horizon-structured QP. Pure function: jit/vmap/shard-friendly."""
+    N, nx = data.c.shape
+    nu = data.B.shape[2]
+    ni = stat.Gx.shape[0]
+    ni_f = stat.Gf.shape[0]
+    dtype = data.A.dtype
+    n_comp = N * ni + ni_f
+
+    # --- initialization ---
+    X0 = jnp.zeros((N + 1, nx), dtype=dtype).at[0].set(data.xinit)
+    U0 = jnp.zeros((N, nu), dtype=dtype)
+    slack0 = data.h - mm(X0[:N], stat.Gx.T) - mm(U0, stat.Gu.T)
+    s0 = jnp.maximum(slack0, opts.init_slack)
+    sf0 = jnp.maximum(data.hf - stat.Gf @ X0[N], opts.init_slack)
+    lam0 = jnp.ones((N, ni), dtype=dtype)
+    lamf0 = jnp.ones((ni_f,), dtype=dtype)
+    nu0 = jnp.zeros((N, nx), dtype=dtype)
+
+    def kkt_residual(st):
+        X, U, lam, s, lam_f, s_f, nu_dyn = st
+        req, rineq, rineq_f, rx, rxN, ru = _residuals(
+            stat, data, X, U, lam, s, lam_f, s_f, nu_dyn
+        )
+        gap = (jnp.sum(lam * s) + jnp.sum(lam_f * s_f)) / n_comp
+        res = _max_abs(req, rineq, rineq_f, rx, rxN, ru)
+        return jnp.maximum(res, gap)
+
+    def body(carry):
+        X, U, lam, s, lam_f, s_f, nu_dyn, it, done = carry
+
+        req, rineq, rineq_f, rx, rxN, ru = _residuals(
+            stat, data, X, U, lam, s, lam_f, s_f, nu_dyn
+        )
+        mu = (jnp.sum(lam * s) + jnp.sum(lam_f * s_f)) / n_comp
+
+        W = lam / s
+        W_f = lam_f / s_f
+        fact = _factorize(stat, data, W, W_f)
+
+        def reduced_rhs(rcomp, rcomp_f):
+            # rbar = r_stat + G'((lam*rineq - rcomp)/s)
+            t = (lam * rineq - rcomp) / s                    # (N, ni)
+            t_f = (lam_f * rineq_f - rcomp_f) / s_f          # (ni_f,)
+            rbx = rx + mm(t[1:N], stat.Gx)                   # rows k=1..N-1
+            rbx = jnp.concatenate([jnp.zeros((1, nx), dtype=dtype), rbx], axis=0)
+            rbxN = rxN + stat.Gf.T @ t_f
+            rbu = ru + mm(t, stat.Gu)
+            return -rbx, -rbxN, -rbu
+
+        def recover(dX, dU, rcomp, rcomp_f):
+            dGz = mm(dX[:N], stat.Gx.T) + mm(dU, stat.Gu.T)
+            ds = -rineq - dGz
+            dlam = -(rcomp + lam * ds) / s
+            dGz_f = stat.Gf @ dX[N]
+            ds_f = -rineq_f - dGz_f
+            dlam_f = -(rcomp_f + lam_f * ds_f) / s_f
+            return ds, dlam, ds_f, dlam_f
+
+        # ---- affine (predictor) step ----
+        rcomp_a = lam * s
+        rcomp_af = lam_f * s_f
+        rbx, rbxN, rbu = reduced_rhs(rcomp_a, rcomp_af)
+        dXa, dUa, _ = _solve_newton(stat, data, fact, rbx, rbxN, rbu, -req)
+        dsa, dlama, dsfa, dlamfa = recover(dXa, dUa, rcomp_a, rcomp_af)
+
+        alpha_p_a = jnp.minimum(
+            _step_to_boundary(s, dsa, 1.0), _step_to_boundary(s_f, dsfa, 1.0)
+        )
+        alpha_d_a = jnp.minimum(
+            _step_to_boundary(lam, dlama, 1.0), _step_to_boundary(lam_f, dlamfa, 1.0)
+        )
+        mu_aff = (
+            jnp.sum((s + alpha_p_a * dsa) * (lam + alpha_d_a * dlama))
+            + jnp.sum((s_f + alpha_p_a * dsfa) * (lam_f + alpha_d_a * dlamfa))
+        ) / n_comp
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        # ---- corrector step ----
+        rcomp_c = lam * s + dsa * dlama - sigma * mu
+        rcomp_cf = lam_f * s_f + dsfa * dlamfa - sigma * mu
+        rbx, rbxN, rbu = reduced_rhs(rcomp_c, rcomp_cf)
+        dX, dU, dnu = _solve_newton(stat, data, fact, rbx, rbxN, rbu, -req)
+        ds, dlam, ds_f, dlam_f = recover(dX, dU, rcomp_c, rcomp_cf)
+
+        alpha_p = jnp.minimum(
+            _step_to_boundary(s, ds, opts.tau), _step_to_boundary(s_f, ds_f, opts.tau)
+        )
+        alpha_d = jnp.minimum(
+            _step_to_boundary(lam, dlam, opts.tau),
+            _step_to_boundary(lam_f, dlam_f, opts.tau),
+        )
+
+        X_n = X + alpha_p * dX
+        U_n = U + alpha_p * dU
+        s_n = s + alpha_p * ds
+        sf_n = s_f + alpha_p * ds_f
+        lam_n = lam + alpha_d * dlam
+        lamf_n = lam_f + alpha_d * dlam_f
+        nu_n = nu_dyn + alpha_d * dnu
+
+        # keep converged lanes frozen (vmap-safe)
+        sel = lambda new, old: jnp.where(done, old, new)
+        X_n, U_n, s_n, sf_n = sel(X_n, X), sel(U_n, U), sel(s_n, s), sel(sf_n, s_f)
+        lam_n, lamf_n, nu_n = sel(lam_n, lam), sel(lamf_n, lam_f), sel(nu_n, nu_dyn)
+
+        res_n = kkt_residual((X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n))
+        done_n = done | (res_n < opts.tol)
+        return (X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n, it + 1, done_n)
+
+    def cond(carry):
+        *_, it, done = carry
+        return (~done) & (it < opts.max_iter)
+
+    init = (X0, U0, lam0, s0, lamf0, sf0, nu0, jnp.array(0, jnp.int32),
+            jnp.array(False))
+    X, U, lam, s, lam_f, s_f, nu_dyn, iters, done = lax.while_loop(cond, body, init)
+
+    res = kkt_residual((X, U, lam, s, lam_f, s_f, nu_dyn))
+
+    # cost = y'Py + q'y  (P = blkdiag(Q, R, ..., Qf) = 0.5 * H blocks)
+    cost = (
+        0.5
+        * (
+            jnp.sum(mm(X[:N], stat.Hx.T) * X[:N])
+            + jnp.sum(mm(U, stat.Hu.T) * U)
+            + X[N] @ stat.HxN @ X[N]
+        )
+        + jnp.sum(data.qx * X)
+        + jnp.sum(data.qu * U)
+    )
+
+    return QPSolution(
+        X=X,
+        U=U,
+        lam=lam,
+        lam_f=lam_f,
+        nu_dyn=nu_dyn,
+        s=s,
+        s_f=s_f,
+        cost=cost,
+        kkt_res=res,
+        iters=iters,
+        success=res < jnp.asarray(opts.tol, dtype) * 100,
+    )

@@ -1,0 +1,220 @@
+"""fast-SLS compute kernels: dual extraction, column-wise backward Riccati,
+system-response propagation, and tube backoffs.
+
+TPU-native re-design of the reference's Numba kernels
+(`solver/fast_SLS_jit.py:43-188`): the reference parallelizes the independent
+SLS columns with `numba.prange` CPU threads; here the column axis j becomes a
+`jax.vmap` axis (batched small matmuls on the MXU) and the horizon axis k a
+`lax.scan`. Everything is pure and statically shaped, so the whole pipeline
+jits into a single XLA program and carries an extra leading batch axis for
+thousands of simultaneous solves.
+
+Index conventions match the reference exactly:
+    eta    (N, N, ni)        eta[k, j] defined for k >= j, else 0
+    eta_f  (N+1, ni_f)
+    S      (N+1, N+1, nx, nx)  S[k, j]
+    K      (N, N+1, nu, nx)    K[k, j] nonzero for k >= j
+    Phi_x  (N+1, N+1, nx, nw)  lower block triangular, Phi_x[j, j] = E[j]
+    Phi_u  (N,   N+1, nu, nw)
+    beta   (N, N, ni),  beta_f (N+1, ni_f)
+    backoff (N, ni),    backoff_f (ni_f,)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from robust_nonlinear_mpc_tpu.utils.numerics import mm, sym
+
+
+class SLSRegs(NamedTuple):
+    """Tube regularizers (reference OCP Q_reg/R_reg/Q_reg_f, solver/ocp.py:15-26)."""
+
+    Q_reg: jax.Array    # (nx, nx)
+    R_reg: jax.Array    # (nu, nu)
+    Q_reg_f: jax.Array  # (nx, nx)
+
+
+# ----------------------------------------------------------------------
+# eta = mu / (2 sqrt(beta))   (reference fast_SLS_jit.py:475-487)
+# ----------------------------------------------------------------------
+def evaluate_dual_eta(mu, mu_f, beta, beta_f, epsilon_backoff):
+    """mu (N, ni) stage ineq duals, mu_f (ni_f,), beta (N, N, ni), beta_f (N+1, ni_f).
+
+    eta[k, j] = mu[k] / (2 sqrt(max(beta[k, j], eps)))  for k >= j, else 0.
+    eta_f[j]  = mu_f  / (2 sqrt(max(beta_f[j], eps))).
+    """
+    N = mu.shape[0]
+    b = jnp.maximum(beta, epsilon_backoff)
+    b_f = jnp.maximum(beta_f, epsilon_backoff)
+    eta = mu[:, None, :] / (2.0 * jnp.sqrt(b))            # (N, N, ni)
+    kk = jnp.arange(N)[:, None]
+    jj = jnp.arange(N)[None, :]
+    eta = jnp.where((kk >= jj)[:, :, None], eta, 0.0)
+    eta_f = mu_f[None, :] / (2.0 * jnp.sqrt(b_f))          # (N+1, ni_f)
+    return eta, eta_f
+
+
+# ----------------------------------------------------------------------
+# Column-wise backward Riccati  (reference fast_SLS_jit.py:43-84)
+# ----------------------------------------------------------------------
+def riccati_step(A, B, Cx, Cu, Sk):
+    """One Riccati step (reference riccati_step_njit, fast_SLS_jit.py:43-62)."""
+    x = mm(B.T, Sk)                 # (nu, nx)
+    y = mm(A.T, Sk)                 # (nx, nx)
+    H = Cu + mm(x, B)               # (nu, nu)
+    F = mm(x, A)                    # (nu, nx)
+    L = jnp.linalg.cholesky(sym(H))
+    K = -jax.scipy.linalg.cho_solve((L, True), F)
+    S = Cx + mm(y, A + mm(B, K))
+    return K, sym(S)
+
+
+def backward_solve(A, B, Gmat, Gf, eta, eta_f, regs: SLSRegs):
+    """Per-column backward Riccati producing disturbance-feedback gains.
+
+    A (N, nx, nx), B (N, nx, nu), Gmat (ni, nx+nu), Gf (ni_f, nx),
+    eta (N, N, ni), eta_f (N+1, ni_f).
+    Returns S (N+1, N+1, nx, nx), K (N, N+1, nu, nx).
+
+    Matches `_backward_solve_numba` (fast_SLS_jit.py:65-84): the weighted
+    constraint curvature C_kj = G' diag(eta[k,j]) G is split into its (x, x)
+    and (u, u) diagonal blocks only (cross block discarded, as in the
+    reference), regularized by Q_reg / R_reg; terminal uses Gf and Q_reg_f.
+    The column axis j is vmapped; the stage recursion k = N-1..j is a masked
+    reverse scan.
+    """
+    N, nx = A.shape[0], A.shape[1]
+    nu = B.shape[2]
+
+    Gx = Gmat[:, :nx]   # (ni, nx)
+    Gu = Gmat[:, nx:]   # (ni, nu)
+
+    def column(j, eta_col, eta_f_j):
+        # eta_col: (N, ni) = eta[:, j]
+        SN = mm(Gf.T, eta_f_j[:, None] * Gf) + regs.Q_reg_f
+
+        def step(S_next, inp):
+            k, A_k, B_k, eta_kj = inp
+            Cxx = mm(Gx.T, eta_kj[:, None] * Gx) + regs.Q_reg
+            Cuu = mm(Gu.T, eta_kj[:, None] * Gu) + regs.R_reg
+            K_k, S_k = riccati_step(A_k, B_k, Cxx, Cuu, S_next)
+            active = k >= j
+            S_out = jnp.where(active, S_k, jnp.zeros_like(S_k))
+            K_out = jnp.where(active, K_k, jnp.zeros_like(K_k))
+            S_carry = jnp.where(active, S_k, S_next)
+            return S_carry, (K_out, S_out)
+
+        ks = jnp.arange(N)
+        _, (K_col, S_col) = lax.scan(step, SN, (ks, A, B, eta_col), reverse=True)
+        S_col = jnp.concatenate([S_col, SN[None]], axis=0)  # (N+1, nx, nx)
+        return S_col, K_col
+
+    js = jnp.arange(N + 1)
+    # eta columns: (N+1 columns, N stages, ni); column j = N has no stage etas
+    eta_cols = jnp.concatenate(
+        [jnp.swapaxes(eta, 0, 1), jnp.zeros((1, eta.shape[0], eta.shape[2]), eta.dtype)],
+        axis=0,
+    )  # (N+1, N, ni)
+    S_all, K_all = jax.vmap(column)(js, eta_cols, eta_f)
+    # S_all: (N+1 cols, N+1 stages, nx, nx) -> transpose to (stage, col, ...)
+    S = jnp.swapaxes(S_all, 0, 1)
+    K = jnp.swapaxes(K_all, 0, 1)
+    return S, K
+
+
+# ----------------------------------------------------------------------
+# Phi propagation  (reference _propagate, fast_SLS_jit.py:87-117)
+# ----------------------------------------------------------------------
+def propagate(A, B, E, K):
+    """Forward-propagate the system-response maps through A + B K[k, j].
+
+    A (N, nx, nx), B (N, nx, nu), E (N+1, nx, nw), K (N, N+1, nu, nx).
+    Returns Phi_x (N+1, N+1, nx, nw), Phi_u (N, N+1, nu, nw).
+    """
+    N, nx = A.shape[0], A.shape[1]
+    nw = E.shape[2]
+
+    cols = jnp.arange(N + 1)
+
+    def step(row, inp):
+        k, A_k, B_k, K_k, E_k = inp
+        # inject this step's diagonal: Phi_x[k, k] = E[k]
+        row = jnp.where((cols == k)[:, None, None], E_k[None], row)
+        phi_u = jnp.einsum("jui,jiw->juw", K_k, row, precision=lax.Precision.HIGHEST)
+        Acl = A_k[None] + jnp.einsum(
+            "iu,juv->jiv", B_k, K_k, precision=lax.Precision.HIGHEST
+        )
+        nxt = jnp.einsum("jiv,jvw->jiw", Acl, row, precision=lax.Precision.HIGHEST)
+        active = (cols <= k)[:, None, None]
+        nxt = jnp.where(active, nxt, 0.0)
+        phi_u = jnp.where(active, phi_u, 0.0)
+        return nxt, (row, phi_u)
+
+    init = jnp.zeros((N + 1, nx, nw), dtype=A.dtype)
+    last, (phi_x_rows, phi_u_rows) = lax.scan(
+        step, init, (jnp.arange(N), A, B, K, E[:N])
+    )
+    last = jnp.where((cols == N)[:, None, None], E[N][None], last)
+    Phi_x = jnp.concatenate([phi_x_rows, last[None]], axis=0)
+    return Phi_x, phi_u_rows
+
+
+# ----------------------------------------------------------------------
+# Backoffs  (reference _backoff_from_phi, fast_SLS_jit.py:120-188)
+# ----------------------------------------------------------------------
+def backoff_from_phi(Phi_x, Phi_u, Gx, Gu, Gf, epsilon):
+    """Row-norm tube tightenings.
+
+    beta[k, j, i] = max(|| (Gx Phi_x[k,j] + Gu Phi_u[k,j])_i ||^2, eps), j <= k
+    beta_f[j, i]  = max(|| (Gf Phi_x[N,j])_i ||^2, eps)
+    backoff[k]    = sum_{j<=k} sqrt(beta[k, j])
+    backoff_f     = sum_j sqrt(beta_f[j])
+    """
+    N = Phi_u.shape[0]
+    Z = jnp.einsum(
+        "ri,kjiw->kjrw", Gx, Phi_x[:N], precision=lax.Precision.HIGHEST
+    ) + jnp.einsum("ru,kjuw->kjrw", Gu, Phi_u, precision=lax.Precision.HIGHEST)
+    beta = jnp.sum(Z * Z, axis=-1)  # (N, N+1, ni) -> trim to (N, N)
+    beta = beta[:, :N, :]
+    kk = jnp.arange(N)[:, None]
+    jj = jnp.arange(N)[None, :]
+    tri = (jj <= kk)[:, :, None]
+    beta = jnp.where(tri, jnp.maximum(beta, epsilon), 0.0)
+
+    Zf = jnp.einsum("ri,jiw->jrw", Gf, Phi_x[N], precision=lax.Precision.HIGHEST)
+    beta_f = jnp.maximum(jnp.sum(Zf * Zf, axis=-1), epsilon)  # (N+1, ni_f)
+
+    backoff = jnp.sum(jnp.sqrt(jnp.where(tri, beta, 0.0)), axis=1)  # (N, ni)
+    backoff_f = jnp.sum(jnp.sqrt(beta_f), axis=0)                   # (ni_f,)
+    return beta, beta_f, backoff, backoff_f
+
+
+# ----------------------------------------------------------------------
+# Tube cost  (reference util/SLS.py:38-46 eval_cost)
+# ----------------------------------------------------------------------
+def tube_cost(Phi_x, Phi_u, regs: SLSRegs):
+    """|| blkdiag(kron(I_N, Q_reg), Q_reg_f, kron(I_N, R_reg)) [Phi_x; Phi_u] ||_F."""
+    N = Phi_u.shape[0]
+    qx = jnp.einsum("ab,kjbw->kjaw", regs.Q_reg, Phi_x[:N], precision=lax.Precision.HIGHEST)
+    qf = jnp.einsum("ab,jbw->jaw", regs.Q_reg_f, Phi_x[N], precision=lax.Precision.HIGHEST)
+    ru = jnp.einsum("ab,kjbw->kjaw", regs.R_reg, Phi_u, precision=lax.Precision.HIGHEST)
+    total = jnp.sum(qx * qx) + jnp.sum(qf * qf) + jnp.sum(ru * ru)
+    return jnp.sqrt(total)
+
+
+# ----------------------------------------------------------------------
+# Block tensor <-> matrix  (reference util/SLS.py:48-75)
+# ----------------------------------------------------------------------
+def tensor_to_matrix(t):
+    """(P, M, n, m) block tensor -> (P n, M m) block matrix."""
+    P, M, n, m = t.shape
+    return jnp.transpose(t, (0, 2, 1, 3)).reshape(P * n, M * m)
+
+
+def matrix_to_tensor(mat, P, M, n, m):
+    return mat.reshape(P, n, M, m).transpose(0, 2, 1, 3)

@@ -1,0 +1,301 @@
+"""fast-SLS: disturbance-feedback tube synthesis via alternating QP forward
+solves and column-wise Riccati backward solves.
+
+Functional re-design of the reference `solver/fast_SLS_jit.py:195-646`
+(class fast_SLS): all mutable `current_iteration` dict state becomes an
+explicit fixed-shape pytree so the whole loop jits (and vmaps over problem
+batches). Semantics replicated exactly, including the reference's quirks
+(SURVEY.md §2.2):
+
+  * the convergence criterion is primal-only with tolerance 1e-3; the dual
+    criterion is computed but unused (fast_SLS_jit.py:594-600),
+  * the first convergence check of a fresh solver only stores the primal and
+    reports not-converged (fast_SLS_jit.py:588-591),
+  * the previous-primal memory persists across solve() calls (it lives on the
+    solver object in the reference and is never cleared by
+    reset_solver_to_zeros) — here it is threaded through explicitly,
+  * beta is (re)initialized to epsilon_backoff at the start of every solve,
+    which makes the first eta = mu / (2 sqrt(eps)) large
+    (fast_SLS_jit.py:299,444-452),
+  * the first forward QP of a solve uses *untightened* bounds (the SCP's
+    update_jacobian resets ubg to the raw residuals, qp_jit.py:269-273),
+  * RTI mode runs exactly `rti_steps` iterations; a converged check mid-loop
+    skips only the backward/tightening for that iteration, and the solve
+    always finishes on a forward QP with the latest tightened bounds
+    (fast_SLS_jit.py:280-296).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from robust_nonlinear_mpc_tpu.ops.packing import pack_primal
+from robust_nonlinear_mpc_tpu.ops.qp_ipm import (
+    IPMOptions,
+    QPData,
+    QPStatics,
+    solve_qp,
+)
+from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
+    SLSRegs,
+    backoff_from_phi,
+    backward_solve,
+    evaluate_dual_eta,
+    propagate,
+    tube_cost,
+)
+
+
+class SLSProblem(NamedTuple):
+    """Static problem geometry shared by every fast-SLS solve."""
+
+    stat: QPStatics   # Hx = 2Q, Hu = 2R, HxN = 2Qf, Gx, Gu, Gf
+    regs: SLSRegs     # Q_reg, R_reg, Q_reg_f
+    E: jax.Array      # (N+1, nx, nw) disturbance input maps
+
+
+class FastSLSOptions(NamedTuple):
+    rti_steps: int = 0          # >0: run exactly this many iterations (RTI)
+    max_iter: int = 30          # safety cap in until-convergence mode
+    conv_tol: float = 1e-3      # primal-only criterion (fast_SLS_jit.py:594)
+    epsilon_backoff: float = 1e-10
+    ipm: IPMOptions = IPMOptions()
+
+
+class FastSLSSolution(NamedTuple):
+    X: jax.Array           # (N+1, nx) deviation states
+    U: jax.Array           # (N, nu)  deviation inputs
+    y: jax.Array           # packed stage-wise primal
+    lam: jax.Array         # (N, ni)  stage ineq duals (dual_mu)
+    lam_f: jax.Array       # (ni_f,)
+    eta: jax.Array         # (N, N, ni)
+    eta_f: jax.Array       # (N+1, ni_f)
+    K: jax.Array           # (N, N+1, nu, nx)
+    Phi_x: jax.Array       # (N+1, N+1, nx, nw)
+    Phi_u: jax.Array       # (N, N+1, nu, nw)
+    beta: jax.Array        # (N, N, ni)
+    beta_f: jax.Array      # (N+1, ni_f)
+    backoff: jax.Array     # (N, ni)
+    backoff_f: jax.Array   # (ni_f,)
+    backoff_x: jax.Array   # (N+1, nx)
+    backoff_u: jax.Array   # (N, nu)
+    cost_nominal: jax.Array
+    cost_tube: jax.Array
+    iteration_number: jax.Array
+    success: jax.Array
+    prev_primal: jax.Array  # persistent convergence memory (thread back in)
+    have_prev: jax.Array
+    qp_iters: jax.Array     # total IPM iterations across forward solves
+    qp_kkt: jax.Array       # worst-case QP KKT residual seen
+
+
+def _init_tube(N, ni, ni_f, nx, nu, eps, dtype):
+    """Tube state at solve entry (reference initialize_backoff:444-454).
+
+    Note the init backoff sums sqrt(eps) over *all* N columns (the computed
+    backoff later sums only j <= k) — reference parity.
+    """
+    beta = jnp.full((N, N, ni), eps, dtype=dtype)
+    beta_f = jnp.full((N + 1, ni_f), eps, dtype=dtype)
+    backoff = jnp.sqrt(beta).sum(axis=1)
+    backoff_f = jnp.sqrt(beta_f).sum(axis=0)
+    return beta, beta_f, backoff, backoff_f
+
+
+def fast_sls_solve(
+    prob: SLSProblem,
+    A: jax.Array,          # (N, nx, nx)
+    B: jax.Array,          # (N, nx, nu)
+    c: jax.Array,          # (N, nx) dynamics affine term
+    qx: jax.Array,         # (N+1, nx) linear cost
+    qu: jax.Array,         # (N, nu)
+    g_res: jax.Array,      # (N, ni) untightened stage ineq rhs
+    gf_res: jax.Array,     # (ni_f,)
+    xinit_dev: jax.Array,  # (nx,) pinned deviation initial state
+    prev_primal: jax.Array,
+    have_prev: jax.Array,
+    opts: FastSLSOptions,
+) -> FastSLSSolution:
+    """One fast-SLS solve. Pure function; jit/vmap over a leading batch axis.
+
+    `xinit_dev` follows the reference convention: the QP pins
+    x(0) = -x0_arg where x0_arg = x_nom0 - x0 (qp_jit.py:161-169,376-379),
+    i.e. pass xinit_dev = x0 - x_nom0 directly.
+    """
+    N, nx = c.shape
+    nu = B.shape[2]
+    ni = prob.stat.Gx.shape[0]
+    ni_f = prob.stat.Gf.shape[0]
+    dtype = A.dtype
+    eps = opts.epsilon_backoff
+
+    Gmat = jnp.concatenate([prob.stat.Gx, prob.stat.Gu], axis=1)
+
+    beta, beta_f, backoff, backoff_f = _init_tube(N, ni, ni_f, nx, nu, eps, dtype)
+    applied_backoff = jnp.zeros((N, ni), dtype=dtype)
+    applied_backoff_f = jnp.zeros((ni_f,), dtype=dtype)
+
+    def forward(applied, applied_f):
+        data = QPData(
+            A=A, B=B, c=c, qx=qx, qu=qu,
+            h=g_res - applied, hf=gf_res - applied_f,
+            xinit=xinit_dev,
+        )
+        return solve_qp(prob.stat, data, opts.ipm)
+
+    zero_sol = forward(applied_backoff, applied_backoff_f)  # traced template
+    # note: zero_sol is the first real forward solve (untightened bounds)
+
+    class Carry(NamedTuple):
+        sol: type(zero_sol)
+        eta: jax.Array
+        eta_f: jax.Array
+        K: jax.Array
+        Phi_x: jax.Array
+        Phi_u: jax.Array
+        beta: jax.Array
+        beta_f: jax.Array
+        backoff: jax.Array
+        backoff_f: jax.Array
+        applied: jax.Array
+        applied_f: jax.Array
+        cost_tube: jax.Array
+        prev_primal: jax.Array
+        have_prev: jax.Array
+        converged: jax.Array
+        infeasible: jax.Array
+        iteration_number: jax.Array
+        qp_iters: jax.Array
+        qp_kkt: jax.Array
+
+    def make_carry(sol):
+        return Carry(
+            sol=sol,
+            eta=jnp.zeros((N, N, ni), dtype),
+            eta_f=jnp.zeros((N + 1, ni_f), dtype),
+            K=jnp.zeros((N, N + 1, nu, nx), dtype),
+            Phi_x=jnp.zeros((N + 1, N + 1, nx, prob.E.shape[2]), dtype),
+            Phi_u=jnp.zeros((N, N + 1, nu, prob.E.shape[2]), dtype),
+            beta=beta, beta_f=beta_f,
+            backoff=backoff, backoff_f=backoff_f,
+            applied=applied_backoff, applied_f=applied_backoff_f,
+            cost_tube=jnp.asarray(jnp.nan, dtype),
+            prev_primal=prev_primal, have_prev=have_prev,
+            converged=jnp.array(False),
+            infeasible=~sol.success,
+            iteration_number=jnp.array(0, jnp.int32),
+            qp_iters=sol.iters,
+            qp_kkt=sol.kkt_res,
+        )
+
+    def sls_update(carry: Carry):
+        """eta -> backward Riccati -> propagate -> backoffs -> retighten."""
+        sol = carry.sol
+        eta, eta_f = evaluate_dual_eta(sol.lam, sol.lam_f, carry.beta, carry.beta_f, eps)
+        _, K = backward_solve(A, B, Gmat, prob.stat.Gf, eta, eta_f, prob.regs)
+        Phi_x, Phi_u = propagate(A, B, prob.E, K)
+        ct = tube_cost(Phi_x, Phi_u, prob.regs)
+        nbeta, nbeta_f, nboff, nboff_f = backoff_from_phi(
+            Phi_x, Phi_u, prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, eps
+        )
+        return carry._replace(
+            eta=eta, eta_f=eta_f, K=K, Phi_x=Phi_x, Phi_u=Phi_u,
+            beta=nbeta, beta_f=nbeta_f, backoff=nboff, backoff_f=nboff_f,
+            applied=nboff, applied_f=nboff_f, cost_tube=ct,
+            iteration_number=carry.iteration_number + 1,
+        )
+
+    def step(carry: Carry, resolve_forward: bool):
+        """One _step (fast_SLS_jit.py:314-327). If resolve_forward, start with
+        a fresh QP on the current tightened bounds (used for iterations > 0;
+        iteration 0 reuses the entry solve)."""
+        if resolve_forward:
+            sol = forward(carry.applied, carry.applied_f)
+            carry = carry._replace(
+                sol=sol,
+                infeasible=carry.infeasible | ~sol.success,
+                qp_iters=carry.qp_iters + sol.iters,
+                qp_kkt=jnp.maximum(carry.qp_kkt, sol.kkt_res),
+            )
+        sol = carry.sol
+        y = pack_primal(sol.X, sol.U)
+        conv = carry.have_prev & (jnp.max(jnp.abs(y - carry.prev_primal)) <= opts.conv_tol)
+        carry = carry._replace(prev_primal=y, have_prev=jnp.array(True))
+        # converged or infeasible -> skip the backward/tighten update
+        do_update = ~(conv | carry.infeasible)
+        updated = sls_update(carry)
+        carry = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do_update, b, a), carry, updated
+        )
+        return carry._replace(converged=carry.converged | conv)
+
+    carry = make_carry(zero_sol)
+    steps = max(int(opts.rti_steps), 1) if opts.rti_steps else None
+
+    if steps is not None:
+        # --- RTI mode: exactly `steps` iterations + final forward QP ---
+        for i in range(steps):
+            carry = step(carry, resolve_forward=(i > 0))
+        final = forward(carry.applied, carry.applied_f)
+        # keep the last feasible solution if the final solve failed mid-loop
+        use_final = ~carry.infeasible
+        sol = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(use_final, b, a), carry.sol, final
+        )
+        carry = carry._replace(
+            sol=sol,
+            infeasible=carry.infeasible | (use_final & ~final.success),
+            qp_iters=carry.qp_iters + jnp.where(use_final, final.iters, 0),
+            qp_kkt=jnp.maximum(carry.qp_kkt, jnp.where(use_final, final.kkt_res, 0.0)),
+        )
+        success = ~carry.infeasible
+    else:
+        # --- until convergence (safety cap max_iter), fast_SLS_jit.py:298-312 ---
+        def cond(state):
+            carry, it = state
+            return (~carry.converged) & (~carry.infeasible) & (it < opts.max_iter)
+
+        def body(state):
+            carry, it = state
+            return step(carry, resolve_forward=True), it + 1
+
+        carry = step(carry, resolve_forward=False)
+        carry, _ = lax.while_loop(cond, body, (carry, jnp.array(1, jnp.int32)))
+        success = carry.converged & ~carry.infeasible
+
+    sol = carry.sol
+    backoff_x = jnp.concatenate(
+        [carry.backoff[:, :nx], carry.backoff_f[None, :nx]], axis=0
+    )
+    backoff_u = carry.backoff[:, nx : nx + nu]
+
+    return FastSLSSolution(
+        X=sol.X,
+        U=sol.U,
+        y=pack_primal(sol.X, sol.U),
+        lam=sol.lam,
+        lam_f=sol.lam_f,
+        eta=carry.eta,
+        eta_f=carry.eta_f,
+        K=carry.K,
+        Phi_x=carry.Phi_x,
+        Phi_u=carry.Phi_u,
+        beta=carry.beta,
+        beta_f=carry.beta_f,
+        backoff=carry.backoff,
+        backoff_f=carry.backoff_f,
+        backoff_x=backoff_x,
+        backoff_u=backoff_u,
+        cost_nominal=sol.cost,
+        cost_tube=carry.cost_tube,
+        iteration_number=carry.iteration_number,
+        success=success,
+        prev_primal=carry.prev_primal,
+        have_prev=carry.have_prev,
+        qp_iters=carry.qp_iters,
+        qp_kkt=carry.qp_kkt,
+    )

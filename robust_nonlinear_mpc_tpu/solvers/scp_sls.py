@@ -1,0 +1,407 @@
+"""SCP-SLS: sequential convex programming over System Level Synthesis.
+
+TPU-native re-implementation of the reference `solver/SCP_SLS_jit.py:15-720`
+(Algorithm 2 of arXiv:2005.13297): per SCP iteration, re-linearize the
+dynamics along the nominal trajectory, form the deviation problem, and run
+fast-SLS (tube-tightened QP + disturbance-feedback synthesis); in RTI mode a
+fixed number of iterations runs per MPC step, with warm starting by shifting
+the previous trajectory.
+
+Design: the per-iteration math is a pure jitted function
+(`SCPSLSSolver._iteration`) over an explicit state (X, U, prev_primal) —
+replacing the reference's mutating solver-object dicts — so a full MPC step
+is one XLA program and batches of independent MPC problems vmap.
+
+Replicated reference semantics (SURVEY.md §2.2 quirks included):
+  * warm-started solves skip the nominal (IPOPT->SQP) initialization
+    (SCP_SLS_jit.py:74-77),
+  * the prepared warm-start ubg shift is dead code in the reference
+    (`shift_ubg = False`, SCP_SLS_jit.py:83-102) — not applied here either,
+  * on convergence the reference solves an IPOPT refinement and *discards*
+    it (SCP_SLS_jit.py:129-133) — optionally reproduced for logging only,
+  * `primal_infeasibility` is the *signed* max dynamics defect
+    (np.max without abs, SCP_SLS_jit.py:455),
+  * the deviation QP initial condition is x_nom0 - x0 and the QP pins
+    x(0) = -(x_nom0 - x0) (SCP_SLS_jit.py:408-410; qp_jit.py:163-169).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robust_nonlinear_mpc_tpu.ops.packing import pack_primal
+from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions, QPStatics
+from robust_nonlinear_mpc_tpu.ops.sls_kernels import SLSRegs
+from robust_nonlinear_mpc_tpu.solvers.fast_sls import (
+    FastSLSOptions,
+    SLSProblem,
+    fast_sls_solve,
+)
+from robust_nonlinear_mpc_tpu.solvers.sqp import SQPOptions, sqp_solve
+from robust_nonlinear_mpc_tpu.utils.numerics import mm
+
+
+class SCPSLSOptions(NamedTuple):
+    rti: int = -1                      # -1: until convergence; >0: exactly rti iters
+    fast_sls_rti_steps: int = 0        # 0: inner loop until convergence
+    epsilon_convergence: float = 1e-10  # SCP |delta|_inf criterion (SCP_SLS_jit.py:29)
+    max_iter_scp: int = 100            # SCP_SLS_jit.py:50
+    epsilon_backoff: float = 1e-10
+    sls_conv_tol: float = 1e-3         # fast-SLS primal criterion
+    sls_max_iter: int = 30
+    ipm: IPMOptions = IPMOptions()
+    sqp: SQPOptions = SQPOptions()
+    refine_on_convergence: bool = False
+    verbose: bool = False
+
+
+class SCPIterResult(NamedTuple):
+    X: jax.Array
+    U: jax.Array
+    delta_vec: jax.Array
+    prev_primal: jax.Array
+    have_prev: jax.Array
+    primal_infeasibility: jax.Array
+    cost: jax.Array
+    cost_QP: jax.Array
+    sls: object   # FastSLSSolution
+    success: jax.Array
+
+
+class SCPSLSSolver:
+    """Stateful driver around the pure jitted SCP iteration.
+
+    Mirrors the reference constructor signature
+    `SCP_SLS(N, Q, R, m, Qf, Q_reg, R_reg, Q_reg_f, rti=..., fast_sls_rti_steps=...)`
+    (SCP_SLS_jit.py:24) and the `.solve(x0)` / `.reset_warm_start()` /
+    `.reset()` / `.generate_lqr_controller()` API.
+    """
+
+    def __init__(
+        self,
+        N,
+        Q,
+        R,
+        m,
+        Qf,
+        Q_reg=None,
+        R_reg=None,
+        Q_reg_f=None,
+        *,
+        rti: int = -1,
+        fast_sls_rti_steps: int | None = None,
+        options: SCPSLSOptions | None = None,
+        dtype=None,
+        **kwargs,
+    ):
+        self.N = int(N)
+        self.m = m
+        self.dtype = dtype or jnp.zeros(0).dtype  # honors jax_enable_x64
+        dt = self.dtype
+
+        self.Q = np.asarray(Q, float)
+        self.R = np.asarray(R, float)
+        self.Qf = np.asarray(Qf, float)
+        self.Q_reg = np.eye(m.nx) if Q_reg is None else np.asarray(Q_reg, float)
+        self.R_reg = np.eye(m.nu) if R_reg is None else np.asarray(R_reg, float)
+        self.Q_reg_f = np.eye(m.nx) if Q_reg_f is None else np.asarray(Q_reg_f, float)
+
+        opts = options or SCPSLSOptions()
+        opts = opts._replace(rti=int(rti))
+        if fast_sls_rti_steps is not None:
+            opts = opts._replace(fast_sls_rti_steps=int(fast_sls_rti_steps))
+        if "verbose" in kwargs:
+            opts = opts._replace(verbose=bool(kwargs["verbose"]))
+        self.opts = opts
+
+        self._build_problem()
+        self._iter_jit = jax.jit(self._iteration)
+        self._shift_jit = jax.jit(self._warm_shift)
+
+        # persistent (warm-start) state
+        self._X = None
+        self._U = None
+        self._prev_primal = jnp.zeros((m.nx + m.nu) * self.N + m.nx, dt)
+        self._have_prev = jnp.array(False)
+        self.it_data = {}
+        self.K = None
+
+    # ------------------------------------------------------------------
+    def _build_problem(self):
+        m, N, dt = self.m, self.N, self.dtype
+        G = jnp.asarray(m.G, dt)
+        stat = QPStatics(
+            Hx=jnp.asarray(2 * self.Q, dt),
+            Hu=jnp.asarray(2 * self.R, dt),
+            HxN=jnp.asarray(2 * self.Qf, dt),
+            Gx=G[:, : m.nx],
+            Gu=G[:, m.nx :],
+            Gf=jnp.asarray(m.Gf, dt),
+        )
+        regs = SLSRegs(
+            Q_reg=jnp.asarray(self.Q_reg, dt),
+            R_reg=jnp.asarray(self.R_reg, dt),
+            Q_reg_f=jnp.asarray(self.Q_reg_f, dt),
+        )
+        # E_traj: identical E at every stage incl. the initial one
+        # (reference SCP_SLS_jit.py:230-238)
+        E = jnp.broadcast_to(jnp.asarray(m.E, dt)[None], (N + 1, m.nx, m.nw))
+        self.prob = SLSProblem(stat=stat, regs=regs, E=E)
+        self._g = jnp.asarray(m.g, dt)
+        self._gf = jnp.asarray(m.gf, dt)
+        self._Qj = jnp.asarray(self.Q, dt)
+        self._Rj = jnp.asarray(self.R, dt)
+        self._Qfj = jnp.asarray(self.Qf, dt)
+
+    def _fast_sls_opts(self) -> FastSLSOptions:
+        return FastSLSOptions(
+            rti_steps=self.opts.fast_sls_rti_steps,
+            max_iter=self.opts.sls_max_iter,
+            conv_tol=self.opts.sls_conv_tol,
+            epsilon_backoff=self.opts.epsilon_backoff,
+            ipm=self.opts.ipm,
+        )
+
+    # ------------------------------------------------------------------
+    # Pure per-iteration math (jitted)
+    # ------------------------------------------------------------------
+    def _iteration(self, X, U, x0, prev_primal, have_prev) -> SCPIterResult:
+        m, N = self.m, self.N
+        stat = self.prob.stat
+
+        # jacobian sweep + defects (reference update_jacobian:251-366)
+        A, B, c = m.linearize_traj(X, U)
+        g_res = self._g[None] - mm(X[:N], stat.Gx.T) - mm(U, stat.Gu.T)
+        gf_res = self._gf - stat.Gf @ X[N]
+        # linear cost q = 2 H y_nom (reference :362-366)
+        qx = jnp.concatenate(
+            [2 * mm(X[:N], self._Qj.T), (2 * self._Qfj @ X[N])[None]], axis=0
+        )
+        qu = 2 * mm(U, self._Rj.T)
+
+        # deviation initial condition (reference socp_step:408-410)
+        xinit_dev = x0 - X[0]
+
+        sls = fast_sls_solve(
+            self.prob, A, B, c, qx, qu, g_res, gf_res, xinit_dev,
+            prev_primal, have_prev, self._fast_sls_opts(),
+        )
+
+        X_new = X + sls.X
+        U_new = U + sls.U
+
+        # signed max defect of the *updated* iterate (SCP_SLS_jit.py:451-456)
+        f_new = jax.vmap(m.ddyn)(X_new[:N], U_new)
+        primal_infeas = jnp.max(f_new - X_new[1 : N + 1])
+
+        cost_nlp = (
+            jnp.sum(mm(X_new[:N], self._Qj.T) * X_new[:N])
+            + jnp.sum(mm(U_new, self._Rj.T) * U_new)
+            + X_new[N] @ self._Qfj @ X_new[N]
+        )
+
+        return SCPIterResult(
+            X=X_new,
+            U=U_new,
+            delta_vec=sls.y,
+            prev_primal=sls.prev_primal,
+            have_prev=sls.have_prev,
+            primal_infeasibility=primal_infeas,
+            cost=sls.cost_nominal + cost_nlp,
+            cost_QP=sls.cost_nominal,
+            sls=sls,
+            success=sls.success,
+        )
+
+    def _warm_shift(self, X, U):
+        """Shift trajectories one step (reference reset_warm_start:512-518)."""
+        N = self.N
+        X_new = jnp.concatenate(
+            [X[1:], self.m.ddyn(X[N], U[N - 1])[None]], axis=0
+        )
+        U_new = jnp.concatenate([U[1:], U[N - 1 :]], axis=0)
+        return X_new, U_new
+
+    # ------------------------------------------------------------------
+    # Public API (reference SCP_SLS methods)
+    # ------------------------------------------------------------------
+    def solve_nominal_trajectory(self, x0):
+        """Nominal initialization via SQP (replaces IPOPT, SCP_SLS_jit.py:161)."""
+        sol = sqp_solve(
+            self.m, self.N, self.Q, self.R, self.Qf,
+            jnp.asarray(x0, self.dtype), opts=self.opts.sqp,
+        )
+        if not bool(sol.success):
+            if self.opts.verbose:
+                print("SCP-SLS: nominal trajectory initialization failed")
+            return False
+        self._X, self._U = sol.X, sol.U
+        if self.opts.verbose:
+            print(f"SCP-SLS: nominal init converged, cost {float(sol.cost):.6e}")
+        return True
+
+    def solve(self, x0):
+        x0 = jnp.asarray(x0, self.dtype).reshape(-1)
+        t_start = time.perf_counter()
+
+        if self._X is None:
+            if not self.solve_nominal_trajectory(x0):
+                return {"success": False}
+
+        rti = self.opts.rti
+        run_until_converged = not (rti is not None and rti > 0)
+        max_iters = self.opts.max_iter_scp if run_until_converged else int(rti)
+
+        last_success = False
+        iterations = 0
+        res = None
+        for ii in range(max_iters):
+            iterations = ii
+            res = self._iter_jit(self._X, self._U, x0, self._prev_primal, self._have_prev)
+            last_success = bool(res.success)
+            if not last_success:
+                break
+            self._X, self._U = res.X, res.U
+            self._prev_primal, self._have_prev = res.prev_primal, res.have_prev
+            self.it_data[ii] = {"cost": float(res.cost), "delta": float(jnp.max(jnp.abs(res.delta_vec)))}
+
+            if run_until_converged and float(jnp.max(jnp.abs(res.delta_vec))) < self.opts.epsilon_convergence:
+                if self.opts.verbose:
+                    print(f"SCP-SLS: converged in {ii} iterations")
+                if self.opts.refine_on_convergence:
+                    ref = sqp_solve(
+                        self.m, self.N, self.Q, self.R, self.Qf, x0,
+                        X_init=self._X, U_init=self._U, opts=self.opts.sqp,
+                    )
+                    # reference prints and DISCARDS the refinement (:129-133)
+                    print(
+                        f"Refinement SQP: success = {bool(ref.success)}, "
+                        f"cost = {float(ref.cost):.6e}"
+                    )
+                return self._package(res, iterations, True, t_start)
+
+        success = last_success if not run_until_converged else False
+        if run_until_converged and self.opts.verbose:
+            print(f"SCP did not converge in {iterations} iterations")
+        return self._package(res, iterations, success, t_start)
+
+    def _package(self, res: SCPIterResult | None, iterations, success, t_start):
+        jax.block_until_ready(res.X if res is not None else jnp.zeros(0))
+        t_ms = (time.perf_counter() - t_start) * 1e3
+        if res is None:
+            return {"success": False, "iterations": iterations, "t_solve_ms": t_ms}
+        sls = res.sls
+        out = {
+            "success": bool(success),
+            "iterations": int(iterations),
+            "primal_x": np.asarray(res.X).T,          # (nx, N+1) reference layout
+            "primal_u": np.asarray(res.U).T,          # (nu, N)
+            "primal_vec": np.asarray(pack_primal(res.X, res.U)),
+            "delta_vec": np.asarray(res.delta_vec),
+            "dual_mu": np.asarray(sls.lam).T,         # (ni, N)
+            "dual_mu_f": np.asarray(sls.lam_f),
+            "dual_eta": np.asarray(sls.eta),
+            "dual_eta_f": np.asarray(sls.eta_f),
+            "K": np.asarray(sls.K),
+            "Phi_x": np.asarray(sls.Phi_x),
+            "Phi_u": np.asarray(sls.Phi_u),
+            "beta": np.asarray(sls.beta),
+            "beta_f": np.asarray(sls.beta_f),
+            "backoff": np.asarray(sls.backoff),
+            "backoff_f": np.asarray(sls.backoff_f),
+            "backoff_x": np.asarray(sls.backoff_x),   # (N+1, nx)
+            "backoff_u": np.asarray(sls.backoff_u),   # (N, nu)
+            "cost_QP": float(res.cost_QP),
+            "cost": float(res.cost),
+            "cost_tube": float(sls.cost_tube),
+            "primal_infeasibility": float(res.primal_infeasibility),
+            "SOCP_steps": int(sls.iteration_number),
+            "qp_iters": int(sls.qp_iters),
+            "qp_kkt": float(sls.qp_kkt),
+            "it_data": dict(self.it_data),
+            # timings: the iteration is one fused XLA program; per-stage
+            # splits are available via profile_solve(). Legacy keys report
+            # the fused total under t_qp and zero elsewhere.
+            "t_solve_ms": t_ms,
+            "t_jac_ms": 0.0,
+            "t_qp_ms": t_ms,
+            "t_backward_ms": 0.0,
+        }
+        return out
+
+    def reset_warm_start(self):
+        """Shift x/u one step; keep convergence memory (reference :500-551)."""
+        if self._X is None:
+            return
+        self._X, self._U = self._shift_jit(self._X, self._U)
+        self.it_data = {}
+
+    def reset(self):
+        self._X = None
+        self._U = None
+        self._prev_primal = jnp.zeros_like(self._prev_primal)
+        self._have_prev = jnp.array(False)
+        self.it_data = {}
+
+    def generate_lqr_controller(self):
+        """Infinite-horizon LQR at the origin (reference :624-659).
+
+        Uses scipy's DARE on host — a build/analysis utility, not a TPU path.
+        Like the reference, overwrites self.Qf with the DARE solution (the
+        already-built problem arrays are NOT rebuilt — reference parity).
+        """
+        from scipy.linalg import solve_discrete_are
+
+        nx, nu = self.m.nx, self.m.nu
+        x0 = jnp.zeros(nx, self.dtype)
+        u0 = jnp.zeros(nu, self.dtype)
+        A, B = self.m.linearize(x0, u0)
+        A = np.asarray(A)
+        B = np.asarray(B)
+        P = solve_discrete_are(A, B, self.Q, self.R)
+        K = np.linalg.solve(self.R + B.T @ P @ B, B.T @ P @ A)
+        self.K = K
+        self.Qf = P
+        return {
+            "K": K,
+            "P": P,
+            "A": A,
+            "B": B,
+            "controller": lambda x: -K @ np.asarray(x),
+        }
+
+    def eval_deviation_mismatch(self, e, d):
+        """Linearized-vs-true deviation rollout check (reference :661-720).
+
+        e: (nx, N+1) state deviations, d: (nu, N) input deviations
+        (reference layouts).
+        """
+        assert self._X is not None, "no nominal trajectory available"
+        N, nx, nu = self.N, self.m.nx, self.m.nu
+        e = jnp.asarray(e, self.dtype).T  # (N+1, nx)
+        d = jnp.asarray(d, self.dtype).T  # (N, nu)
+        X, U = self._X, self._U
+        A, B, c = self.m.linearize_traj(X, U)
+
+        f_nom = jax.vmap(self.m.ddyn)(X[:N], U)
+        r = f_nom - X[1:]
+        pred = (
+            jnp.einsum("kij,kj->ki", A, e[:N])
+            + jnp.einsum("kij,kj->ki", B, d)
+            + r
+        )
+        f_roll = jax.vmap(self.m.ddyn)(X[:N] + e[:N], U + d)
+        roll = f_roll - X[1:]
+        mismatch = roll - pred
+        return {
+            "mismatch": np.asarray(mismatch).T,
+            "pred": np.asarray(pred).T,
+            "roll": np.asarray(roll).T,
+            "r": np.asarray(r).T,
+            "norms": np.asarray(jnp.linalg.norm(mismatch, axis=1)),
+        }
