@@ -258,14 +258,15 @@ def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> 
         fact = _factorize(stat, data, W, W_f)
 
         def reduced_rhs(rcomp, rcomp_f):
-            # rbar = r_stat + G'((lam*rineq - rcomp)/s)
+            # rbar = r_stat + G'((lam*rineq - rcomp)/s); the Newton step solves
+            # min 1/2 d'Cd + rbar'd  s.t.  dx+ = A dx + B du + req
             t = (lam * rineq - rcomp) / s                    # (N, ni)
             t_f = (lam_f * rineq_f - rcomp_f) / s_f          # (ni_f,)
             rbx = rx + mm(t[1:N], stat.Gx)                   # rows k=1..N-1
             rbx = jnp.concatenate([jnp.zeros((1, nx), dtype=dtype), rbx], axis=0)
             rbxN = rxN + stat.Gf.T @ t_f
             rbu = ru + mm(t, stat.Gu)
-            return -rbx, -rbxN, -rbu
+            return rbx, rbxN, rbu
 
         def recover(dX, dU, rcomp, rcomp_f):
             dGz = mm(dX[:N], stat.Gx.T) + mm(dU, stat.Gu.T)
@@ -280,7 +281,7 @@ def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> 
         rcomp_a = lam * s
         rcomp_af = lam_f * s_f
         rbx, rbxN, rbu = reduced_rhs(rcomp_a, rcomp_af)
-        dXa, dUa, _ = _solve_newton(stat, data, fact, rbx, rbxN, rbu, -req)
+        dXa, dUa, _ = _solve_newton(stat, data, fact, rbx, rbxN, rbu, req)
         dsa, dlama, dsfa, dlamfa = recover(dXa, dUa, rcomp_a, rcomp_af)
 
         alpha_p_a = jnp.minimum(
@@ -299,7 +300,7 @@ def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> 
         rcomp_c = lam * s + dsa * dlama - sigma * mu
         rcomp_cf = lam_f * s_f + dsfa * dlamfa - sigma * mu
         rbx, rbxN, rbu = reduced_rhs(rcomp_c, rcomp_cf)
-        dX, dU, dnu = _solve_newton(stat, data, fact, rbx, rbxN, rbu, -req)
+        dX, dU, dnu = _solve_newton(stat, data, fact, rbx, rbxN, rbu, req)
         ds, dlam, ds_f, dlam_f = recover(dX, dU, rcomp_c, rcomp_cf)
 
         alpha_p = jnp.minimum(
