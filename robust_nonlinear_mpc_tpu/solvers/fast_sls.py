@@ -66,6 +66,45 @@ class FastSLSOptions(NamedTuple):
     ipm: IPMOptions = IPMOptions()
 
 
+class FastSLSPersist(NamedTuple):
+    """State that survives across fast-SLS solves within one MPC step.
+
+    In the reference these live in the fast_SLS object's `current_iteration`
+    dict, which is only wiped by reset_solver_to_zeros -> initialize_solver
+    (i.e. at warm-start time), while beta/backoff are re-initialized at every
+    solve() entry. The convergence memory `_prev_primal_vec` is an instance
+    attribute that is NEVER cleared (fast_SLS_jit.py:583-599) and therefore
+    persists even across MPC steps.
+    """
+
+    prev_primal: jax.Array   # packed primal from the last convergence check
+    have_prev: jax.Array     # bool: prev_primal is valid
+    eta: jax.Array           # (N, N, ni)
+    eta_f: jax.Array         # (N+1, ni_f)
+    K: jax.Array             # (N, N+1, nu, nx)
+    Phi_x: jax.Array         # (N+1, N+1, nx, nw)
+    Phi_u: jax.Array         # (N, N+1, nu, nw)
+    cost_tube: jax.Array     # scalar
+
+    @staticmethod
+    def init(N, nx, nu, ni, ni_f, nw, dtype, keep_prev=None):
+        prev = (
+            keep_prev
+            if keep_prev is not None
+            else jnp.zeros((nx + nu) * N + nx, dtype)
+        )
+        return FastSLSPersist(
+            prev_primal=prev,
+            have_prev=jnp.array(False) if keep_prev is None else jnp.array(True),
+            eta=jnp.zeros((N, N, ni), dtype),
+            eta_f=jnp.zeros((N + 1, ni_f), dtype),
+            K=jnp.zeros((N, N + 1, nu, nx), dtype),
+            Phi_x=jnp.zeros((N + 1, N + 1, nx, nw), dtype),
+            Phi_u=jnp.zeros((N, N + 1, nu, nw), dtype),
+            cost_tube=jnp.asarray(jnp.nan, dtype),
+        )
+
+
 class FastSLSSolution(NamedTuple):
     X: jax.Array           # (N+1, nx) deviation states
     U: jax.Array           # (N, nu)  deviation inputs
@@ -87,8 +126,7 @@ class FastSLSSolution(NamedTuple):
     cost_tube: jax.Array
     iteration_number: jax.Array
     success: jax.Array
-    prev_primal: jax.Array  # persistent convergence memory (thread back in)
-    have_prev: jax.Array
+    persist: FastSLSPersist  # thread back into the next solve
     qp_iters: jax.Array     # total IPM iterations across forward solves
     qp_kkt: jax.Array       # worst-case QP KKT residual seen
 
@@ -116,8 +154,7 @@ def fast_sls_solve(
     g_res: jax.Array,      # (N, ni) untightened stage ineq rhs
     gf_res: jax.Array,     # (ni_f,)
     xinit_dev: jax.Array,  # (nx,) pinned deviation initial state
-    prev_primal: jax.Array,
-    have_prev: jax.Array,
+    persist: FastSLSPersist,
     opts: FastSLSOptions,
 ) -> FastSLSSolution:
     """One fast-SLS solve. Pure function; jit/vmap over a leading batch axis.
@@ -161,6 +198,8 @@ def fast_sls_solve(
         beta_f: jax.Array
         backoff: jax.Array
         backoff_f: jax.Array
+        backoff_x: jax.Array
+        backoff_u: jax.Array
         applied: jax.Array
         applied_f: jax.Array
         cost_tube: jax.Array
@@ -175,16 +214,20 @@ def fast_sls_solve(
     def make_carry(sol):
         return Carry(
             sol=sol,
-            eta=jnp.zeros((N, N, ni), dtype),
-            eta_f=jnp.zeros((N + 1, ni_f), dtype),
-            K=jnp.zeros((N, N + 1, nu, nx), dtype),
-            Phi_x=jnp.zeros((N + 1, N + 1, nx, prob.E.shape[2]), dtype),
-            Phi_u=jnp.zeros((N, N + 1, nu, prob.E.shape[2]), dtype),
+            eta=persist.eta,
+            eta_f=persist.eta_f,
+            K=persist.K,
+            Phi_x=persist.Phi_x,
+            Phi_u=persist.Phi_u,
             beta=beta, beta_f=beta_f,
             backoff=backoff, backoff_f=backoff_f,
+            # reference initialize_backoff:453-454 resets these to zeros at
+            # every solve entry; only update_tightening fills them
+            backoff_x=jnp.zeros((N + 1, nx), dtype),
+            backoff_u=jnp.zeros((N, nu), dtype),
             applied=applied_backoff, applied_f=applied_backoff_f,
-            cost_tube=jnp.asarray(jnp.nan, dtype),
-            prev_primal=prev_primal, have_prev=have_prev,
+            cost_tube=persist.cost_tube,
+            prev_primal=persist.prev_primal, have_prev=persist.have_prev,
             converged=jnp.array(False),
             infeasible=~sol.success,
             iteration_number=jnp.array(0, jnp.int32),
@@ -202,9 +245,12 @@ def fast_sls_solve(
         nbeta, nbeta_f, nboff, nboff_f = backoff_from_phi(
             Phi_x, Phi_u, prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, eps
         )
+        backoff_x = jnp.concatenate([nboff[:, :nx], nboff_f[None, :nx]], axis=0)
+        backoff_u = nboff[:, nx : nx + nu]
         return carry._replace(
             eta=eta, eta_f=eta_f, K=K, Phi_x=Phi_x, Phi_u=Phi_u,
             beta=nbeta, beta_f=nbeta_f, backoff=nboff, backoff_f=nboff_f,
+            backoff_x=backoff_x, backoff_u=backoff_u,
             applied=nboff, applied_f=nboff_f, cost_tube=ct,
             iteration_number=carry.iteration_number + 1,
         )
@@ -268,10 +314,19 @@ def fast_sls_solve(
         success = carry.converged & ~carry.infeasible
 
     sol = carry.sol
-    backoff_x = jnp.concatenate(
-        [carry.backoff[:, :nx], carry.backoff_f[None, :nx]], axis=0
+    backoff_x = carry.backoff_x
+    backoff_u = carry.backoff_u
+
+    new_persist = FastSLSPersist(
+        prev_primal=carry.prev_primal,
+        have_prev=carry.have_prev,
+        eta=carry.eta,
+        eta_f=carry.eta_f,
+        K=carry.K,
+        Phi_x=carry.Phi_x,
+        Phi_u=carry.Phi_u,
+        cost_tube=carry.cost_tube,
     )
-    backoff_u = carry.backoff[:, nx : nx + nu]
 
     return FastSLSSolution(
         X=sol.X,
@@ -294,8 +349,7 @@ def fast_sls_solve(
         cost_tube=carry.cost_tube,
         iteration_number=carry.iteration_number,
         success=success,
-        prev_primal=carry.prev_primal,
-        have_prev=carry.have_prev,
+        persist=new_persist,
         qp_iters=carry.qp_iters,
         qp_kkt=carry.qp_kkt,
     )

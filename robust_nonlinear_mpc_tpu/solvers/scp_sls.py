@@ -39,6 +39,7 @@ from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions, QPStatics
 from robust_nonlinear_mpc_tpu.ops.sls_kernels import SLSRegs
 from robust_nonlinear_mpc_tpu.solvers.fast_sls import (
     FastSLSOptions,
+    FastSLSPersist,
     SLSProblem,
     fast_sls_solve,
 )
@@ -64,8 +65,7 @@ class SCPIterResult(NamedTuple):
     X: jax.Array
     U: jax.Array
     delta_vec: jax.Array
-    prev_primal: jax.Array
-    have_prev: jax.Array
+    persist: FastSLSPersist
     primal_infeasibility: jax.Array
     cost: jax.Array
     cost_QP: jax.Array
@@ -126,8 +126,9 @@ class SCPSLSSolver:
         # persistent (warm-start) state
         self._X = None
         self._U = None
-        self._prev_primal = jnp.zeros((m.nx + m.nu) * self.N + m.nx, dt)
-        self._have_prev = jnp.array(False)
+        self._persist = FastSLSPersist.init(
+            self.N, m.nx, m.nu, m.ni, m.ni_f, m.nw, dt
+        )
         self.it_data = {}
         self.K = None
 
@@ -170,7 +171,7 @@ class SCPSLSSolver:
     # ------------------------------------------------------------------
     # Pure per-iteration math (jitted)
     # ------------------------------------------------------------------
-    def _iteration(self, X, U, x0, prev_primal, have_prev) -> SCPIterResult:
+    def _iteration(self, X, U, x0, persist) -> SCPIterResult:
         m, N = self.m, self.N
         stat = self.prob.stat
 
@@ -189,7 +190,7 @@ class SCPSLSSolver:
 
         sls = fast_sls_solve(
             self.prob, A, B, c, qx, qu, g_res, gf_res, xinit_dev,
-            prev_primal, have_prev, self._fast_sls_opts(),
+            persist, self._fast_sls_opts(),
         )
 
         X_new = X + sls.X
@@ -209,8 +210,7 @@ class SCPSLSSolver:
             X=X_new,
             U=U_new,
             delta_vec=sls.y,
-            prev_primal=sls.prev_primal,
-            have_prev=sls.have_prev,
+            persist=sls.persist,
             primal_infeasibility=primal_infeas,
             cost=sls.cost_nominal + cost_nlp,
             cost_QP=sls.cost_nominal,
@@ -262,12 +262,12 @@ class SCPSLSSolver:
         res = None
         for ii in range(max_iters):
             iterations = ii
-            res = self._iter_jit(self._X, self._U, x0, self._prev_primal, self._have_prev)
+            res = self._iter_jit(self._X, self._U, x0, self._persist)
             last_success = bool(res.success)
             if not last_success:
                 break
             self._X, self._U = res.X, res.U
-            self._prev_primal, self._have_prev = res.prev_primal, res.have_prev
+            self._persist = res.persist
             self.it_data[ii] = {"cost": float(res.cost), "delta": float(jnp.max(jnp.abs(res.delta_vec)))}
 
             if run_until_converged and float(jnp.max(jnp.abs(res.delta_vec))) < self.opts.epsilon_convergence:
@@ -335,17 +335,27 @@ class SCPSLSSolver:
         return out
 
     def reset_warm_start(self):
-        """Shift x/u one step; keep convergence memory (reference :500-551)."""
+        """Shift x/u one step and wipe the SLS iteration state, but keep the
+        convergence memory — reference parity: reset_solver_to_zeros clears
+        current_iteration but never _prev_primal_vec (reference :500-551,
+        fast_SLS_jit.py:424-442,583-599)."""
         if self._X is None:
             return
         self._X, self._U = self._shift_jit(self._X, self._U)
+        m = self.m
+        self._persist = FastSLSPersist.init(
+            self.N, m.nx, m.nu, m.ni, m.ni_f, m.nw, self.dtype,
+            keep_prev=self._persist.prev_primal,
+        )._replace(have_prev=self._persist.have_prev)
         self.it_data = {}
 
     def reset(self):
         self._X = None
         self._U = None
-        self._prev_primal = jnp.zeros_like(self._prev_primal)
-        self._have_prev = jnp.array(False)
+        m = self.m
+        self._persist = FastSLSPersist.init(
+            self.N, m.nx, m.nu, m.ni, m.ni_f, m.nw, self.dtype
+        )
         self.it_data = {}
 
     def generate_lqr_controller(self):
