@@ -1,0 +1,188 @@
+"""Closed-loop MPC simulation harnesses.
+
+Two paths, same math:
+
+  * `run_closed_loop` — the experiment-parity driver: a host loop around the
+    stateful SCPSLSSolver reproducing the reference's per-step workflow
+    {warm-shift, solve, apply u0, propagate + E w} and its npz field names
+    (reference expe/main_*_robust_closed_loop.py).
+
+  * `build_batched_closed_loop` — the TPU throughput path: the entire
+    closed loop (nominal SQP init, per-step SCP/fast-SLS RTI iterations,
+    warm shifting, plant rollout with disturbances) as ONE pure jitted
+    function, `lax.scan` over time and `vmap` over scenario batches — this is
+    what the reference fundamentally cannot do (single CPU process) and what
+    the 10k-solves/s north star is measured on (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robust_nonlinear_mpc_tpu.solvers.fast_sls import FastSLSPersist
+from robust_nonlinear_mpc_tpu.solvers.scp_sls import SCPSLSSolver
+from robust_nonlinear_mpc_tpu.solvers.sqp import sqp_solve
+
+
+class ClosedLoopLog(NamedTuple):
+    state_trajectory: jax.Array       # (T, nx)
+    input_trajectory: jax.Array       # (T-1, nu) (reference stores T-1 inputs)
+    nominal_x: jax.Array              # (T, N+1, nx)
+    nominal_u: jax.Array              # (T, N, nu)
+    backoff_x: jax.Array              # (T, N+1, nx)
+    backoff_u: jax.Array              # (T, N, nu)
+    success: jax.Array                # (T,)
+    qp_iters: jax.Array               # (T,)
+
+
+def run_closed_loop(
+    model,
+    solver: SCPSLSSolver,
+    x0,
+    sim_steps: int,
+    *,
+    noise: str = "none",           # "none" | "uniform" (reference rocket)
+    rng: np.random.RandomState | None = None,
+    verbose: bool = False,
+):
+    """Experiment-parity closed loop (host loop, stateful solver).
+
+    noise="uniform": x+ = f(x, u0) + E w with w ~ U[-1, 1]^nx drawn from the
+    *global-style* seeded RNG, matching the reference rocket experiment
+    (main_rocket_robust_closed_loop.py:178-182 with np.random.seed(0)).
+    """
+    m = model
+    N = solver.N
+    x0 = np.asarray(x0, float).reshape(-1)
+    if rng is None:
+        rng = np.random.RandomState(0)
+
+    T = sim_steps
+    state_traj = np.zeros((m.nx, T))
+    input_traj = np.zeros((m.nu, T - 1))
+    nom_x = np.zeros((m.nx, N + 1, T))
+    nom_u = np.zeros((m.nu, N, T))
+    bo_x = np.zeros((m.nx, N + 1, T))
+    bo_u = np.zeros((m.nu, N, T))
+    t_solve = np.zeros((T, 1))
+
+    state_traj[:, 0] = x0
+    for i in range(T):
+        if i > 0:
+            solver.reset_warm_start()
+        sol = solver.solve(x0)
+        if not sol.get("success", False):
+            if verbose:
+                print(f"[closed_loop] step {i}: solver failed")
+        t_solve[i] = sol.get("t_solve_ms", np.nan)
+
+        bo_x[:, :, i] = sol["backoff_x"].T
+        bo_u[:, :, i] = sol["backoff_u"].T
+        nom_x[:, :, i] = sol["primal_x"]
+        nom_u[:, :, i] = sol["primal_u"]
+        state_traj[:, i] = sol["primal_x"][:, 0]
+
+        u0 = sol["primal_u"][:, 0]
+        if i < T - 1:
+            input_traj[:, i] = u0
+
+        x_next = np.asarray(m.ddyn(jnp.asarray(x0), jnp.asarray(u0)))
+        if noise == "uniform":
+            w = 2.0 * rng.rand(m.nx) - 1.0
+            x_next = x_next + np.asarray(m.E) @ w
+        x0 = x_next
+
+    return {
+        "state_trajectory": state_traj,
+        "input_trajectory": input_traj,
+        "nominal_trajectory_x": nom_x,
+        "nominal_trajectory_u": nom_u,
+        "backoff_trajectory_x": bo_x,
+        "backoff_trajectory_u": bo_u,
+        "dt": m.dt,
+        "g": np.asarray(m.g),
+        "nx": m.nx,
+        "nu": m.nu,
+        "simulation_time_steps": T,
+        "N": N,
+        # timings (ms): the solve is one fused XLA program; keep the
+        # reference npz keys, all reporting the fused per-step solve time
+        "t_jac": np.zeros((T, 1)),
+        "t_qp": t_solve,
+        "t_riccati": np.zeros((T, 1)),
+        "t_solve": t_solve,
+    }
+
+
+# ----------------------------------------------------------------------
+# Fully-jitted batched closed loop
+# ----------------------------------------------------------------------
+def build_batched_closed_loop(solver: SCPSLSSolver, sim_steps: int, noise_scale=None):
+    """Build a pure function: (x0, W) -> ClosedLoopLog for one scenario.
+
+    x0: (nx,) initial state; W: (sim_steps, nw) disturbance samples in
+    [-1, 1] (scaled by E inside; pass zeros for noise-free parity sims).
+    vmap it for scenario batches; jit once.
+
+    The per-step structure replicates the reference main loop exactly:
+    warm-shift (steps > 0), `rti` SCP iterations, apply u0, propagate
+    x+ = f(x, u0) + E w.
+    """
+    m = solver.m
+    N = solver.N
+    rti = max(int(solver.opts.rti), 1)
+    E = jnp.asarray(m.E, solver.dtype)
+
+    def mpc_step(carry, w_t):
+        X, U, persist, x = carry
+        res = None
+        for _ in range(rti):
+            res = solver._iteration(X, U, x, persist)
+            X, U, persist = res.X, res.U, res.persist
+        u0 = U[0]
+        x_next = m.ddyn(x, u0) + E @ w_t
+        # warm shift for the next step (reference reset_warm_start)
+        Xs, Us = solver._warm_shift(X, U)
+        persist_next = FastSLSPersist.init(
+            N, m.nx, m.nu, m.ni, m.ni_f, m.nw, solver.dtype,
+            keep_prev=persist.prev_primal,
+        )._replace(have_prev=persist.have_prev)
+        out = (
+            x,
+            u0,
+            X,
+            U,
+            res.sls.backoff_x,
+            res.sls.backoff_u,
+            res.success,
+            res.sls.qp_iters,
+        )
+        return (Xs, Us, persist_next, x_next), out
+
+    def rollout(x0, W):
+        x0 = jnp.asarray(x0, solver.dtype)
+        nominal = sqp_solve(
+            m, N, solver.Q, solver.R, solver.Qf, x0, opts=solver.opts.sqp
+        )
+        persist0 = FastSLSPersist.init(
+            N, m.nx, m.nu, m.ni, m.ni_f, m.nw, solver.dtype
+        )
+        carry0 = (nominal.X, nominal.U, persist0, x0)
+        _, outs = jax.lax.scan(mpc_step, carry0, W[:sim_steps])
+        (xs, u0s, Xs, Us, bx, bu, succ, qpi) = outs
+        return ClosedLoopLog(
+            state_trajectory=xs,
+            input_trajectory=u0s[: sim_steps - 1],
+            nominal_x=Xs,
+            nominal_u=Us,
+            backoff_x=bx,
+            backoff_u=bu,
+            success=succ,
+            qp_iters=qpi,
+        )
+
+    return rollout

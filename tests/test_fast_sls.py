@@ -1,0 +1,154 @@
+"""fast-SLS integration tests: tightened-QP consistency and the SLS tube
+containment guarantee on an LTI system."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions, QPStatics
+from robust_nonlinear_mpc_tpu.ops.sls_kernels import SLSRegs
+from robust_nonlinear_mpc_tpu.solvers.fast_sls import (
+    FastSLSOptions,
+    FastSLSPersist,
+    SLSProblem,
+    fast_sls_solve,
+)
+
+
+def _double_integrator_problem(N=8, tight=4.0):
+    """LTI double integrator with box constraints pushed to activity."""
+    nx, nu, nw = 2, 1, 2
+    A = np.array([[1.0, 0.1], [0.0, 1.0]])
+    B = np.array([[0.005], [0.1]])
+    E = 0.02 * np.eye(2)
+    Q = np.eye(nx)
+    R = 0.1 * np.eye(nu)
+    Qf = 5 * np.eye(nx)
+    G = np.vstack([np.eye(3), -np.eye(3)])  # box on [x; u]
+    g = np.array([tight, tight, 2.0, tight, tight, 2.0])
+    Gf = np.vstack([np.eye(2), -np.eye(2)])
+    gf = np.array([tight, tight, tight, tight])
+
+    stat = QPStatics(
+        Hx=jnp.asarray(2 * Q), Hu=jnp.asarray(2 * R), HxN=jnp.asarray(2 * Qf),
+        Gx=jnp.asarray(G[:, :nx]), Gu=jnp.asarray(G[:, nx:]), Gf=jnp.asarray(Gf),
+    )
+    regs = SLSRegs(
+        Q_reg=jnp.asarray(10.0 * np.eye(nx)),
+        R_reg=jnp.asarray(10.0 * np.eye(nu)),
+        Q_reg_f=jnp.asarray(50.0 * np.eye(nx)),
+    )
+    prob = SLSProblem(
+        stat=stat, regs=regs,
+        E=jnp.broadcast_to(jnp.asarray(E)[None], (N + 1, nx, nw)),
+    )
+    Ab = jnp.broadcast_to(jnp.asarray(A)[None], (N, nx, nx))
+    Bb = jnp.broadcast_to(jnp.asarray(B)[None], (N, nx, nu))
+    c = jnp.zeros((N, nx))
+    qx = jnp.zeros((N + 1, nx))
+    qu = jnp.zeros((N, nu))
+    g_res = jnp.broadcast_to(jnp.asarray(g)[None], (N, 6))
+    gf_res = jnp.asarray(gf)
+    return prob, Ab, Bb, c, qx, qu, g_res, gf_res, N, nx, nu, nw
+
+
+def _solve(x0, rti_steps=0, N=8):
+    prob, A, B, c, qx, qu, g_res, gf_res, N, nx, nu, nw = _double_integrator_problem(N)
+    persist = FastSLSPersist.init(N, nx, nu, 6, 4, nw, jnp.zeros(0).dtype)
+    opts = FastSLSOptions(
+        rti_steps=rti_steps, max_iter=30, ipm=IPMOptions(max_iter=50, tol=1e-10)
+    )
+    sol = jax.jit(fast_sls_solve, static_argnums=(10,))(
+        prob, A, B, c, qx, qu, g_res, gf_res, jnp.asarray(x0), persist, opts
+    )
+    return sol, (prob, A, B, c, g_res, gf_res)
+
+
+def test_fast_sls_converges_and_tightens():
+    sol, (prob, A, B, c, g_res, gf_res) = _solve(np.array([3.0, 0.5]))
+    assert bool(sol.success)
+    assert int(sol.iteration_number) >= 1
+    # backoffs grow with the column index (more accumulated disturbance)
+    bo = np.asarray(sol.backoff)
+    assert np.all(bo[1:, 0] >= bo[:-1, 0] - 1e-12)
+    # the primal satisfies the tightened constraints
+    X, U = np.asarray(sol.X), np.asarray(sol.U)
+    Gx, Gu = np.asarray(prob.stat.Gx), np.asarray(prob.stat.Gu)
+    lhs = X[:-1] @ Gx.T + U @ Gu.T
+    assert np.max(lhs - (np.asarray(g_res) - bo)) < 1e-7
+    assert np.isfinite(float(sol.cost_tube))
+
+
+def test_fast_sls_tube_containment_monte_carlo():
+    """SLS guarantee: for any per-step disturbance ||w_j||_2 <= 1, the
+    closed-loop deviations delta_z = Phi w satisfy G delta_z <= backoff."""
+    sol, (prob, A, B, c, g_res, gf_res) = _solve(np.array([3.0, 0.5]))
+    Phi_x = np.asarray(sol.Phi_x)
+    Phi_u = np.asarray(sol.Phi_u)
+    bo = np.asarray(sol.backoff)
+    bof = np.asarray(sol.backoff_f)
+    Gx, Gu, Gf = (
+        np.asarray(prob.stat.Gx),
+        np.asarray(prob.stat.Gu),
+        np.asarray(prob.stat.Gf),
+    )
+    N, nw = Phi_u.shape[0], Phi_x.shape[3]
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        w = rng.standard_normal((N + 1, nw))
+        w /= np.maximum(np.linalg.norm(w, axis=1, keepdims=True), 1.0)
+        dx = np.einsum("kjiw,jw->ki", Phi_x, w)
+        du = np.einsum("kjuw,jw->ku", Phi_u, w)
+        stage = dx[:N] @ Gx.T + du @ Gu.T
+        assert np.max(stage - bo) < 1e-9
+        assert np.max(Gf @ dx[N] - bof) < 1e-9
+
+    # and the closed-loop dynamics are consistent with Phi:
+    # simulate x+ = A x + B u + E w with u = sum_j K[k,j] (Phi-consistent)
+    K = np.asarray(sol.K)
+    E = np.asarray(prob.E)
+    w = rng.standard_normal((N + 1, nw))
+    x = np.zeros((N + 1, 2))
+    u = np.zeros((N, 1))
+    contrib = np.zeros((N + 1, N + 1, 2))  # per-column state contributions
+    for j in range(N + 1):
+        contrib[j, j] = E[j] @ w[j]
+    for k in range(N):
+        for j in range(k + 1):
+            u_kj = K[k, j] @ contrib[k, j]
+            contrib[k + 1, j] = np.asarray(A[k]) @ contrib[k, j] + np.asarray(B[k]) @ u_kj
+            u[k] += u_kj
+        x[k + 1] = contrib[k + 1, : k + 2].sum(axis=0)
+    dx = np.einsum("kjiw,jw->ki", Phi_x, w)
+    du = np.einsum("kjuw,jw->ku", Phi_u, w)
+    np.testing.assert_allclose(x[1:], dx[1:], atol=1e-9)
+    np.testing.assert_allclose(u, du, atol=1e-9)
+
+
+def test_fast_sls_rti_mode_runs_fixed_steps():
+    sol, _ = _solve(np.array([3.0, 0.5]), rti_steps=2)
+    assert bool(sol.success)
+    assert int(sol.iteration_number) <= 2
+
+
+def test_fast_sls_vmap_batch():
+    """Batched deviation solves must match per-instance solves."""
+    prob, A, B, c, qx, qu, g_res, gf_res, N, nx, nu, nw = _double_integrator_problem()
+    opts = FastSLSOptions(rti_steps=2, ipm=IPMOptions(max_iter=50, tol=1e-10))
+    persist = FastSLSPersist.init(N, nx, nu, 6, 4, nw, jnp.zeros(0).dtype)
+    x0s = jnp.asarray(np.random.default_rng(1).uniform(-2, 2, (5, nx)))
+
+    f = jax.jit(
+        jax.vmap(
+            lambda x0: fast_sls_solve(
+                prob, A, B, c, qx, qu, g_res, gf_res, x0, persist, opts
+            )
+        )
+    )
+    bsol = f(x0s)
+    for i in range(5):
+        s = fast_sls_solve(prob, A, B, c, qx, qu, g_res, gf_res, x0s[i], persist, opts)
+        np.testing.assert_allclose(np.asarray(bsol.U[i]), np.asarray(s.U), atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(bsol.backoff[i]), np.asarray(s.backoff), atol=1e-8
+        )
