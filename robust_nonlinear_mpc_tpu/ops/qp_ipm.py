@@ -45,14 +45,28 @@ class QPStatics(NamedTuple):
     """Quadratic-cost and constraint-geometry blocks (fixed across SCP iters).
 
     Hx = 2Q, Hu = 2R, HxN = 2Qf are the Hessian blocks of y'Py + q'y.
+
+    Hx/Hu/Gx/Gu may be either time-invariant (2-D, the common case) or
+    per-stage stacks with a leading horizon axis (3-D: Hx (N, nx, nx), ...) —
+    `solve_qp` normalizes to per-stage form internally. Per-stage statics are
+    what the soft-constrained NLP uses (slack-augmented stages + a terminal
+    slack stage; solvers/soft_nlp.py).
     """
 
-    Hx: jax.Array   # (nx, nx)
-    Hu: jax.Array   # (nu, nu)
+    Hx: jax.Array   # (nx, nx) or (N, nx, nx)
+    Hu: jax.Array   # (nu, nu) or (N, nu, nu)
     HxN: jax.Array  # (nx, nx)
-    Gx: jax.Array   # (ni, nx)
-    Gu: jax.Array   # (ni, nu)
+    Gx: jax.Array   # (ni, nx) or (N, ni, nx)
+    Gu: jax.Array   # (ni, nu) or (N, ni, nu)
     Gf: jax.Array   # (ni_f, nx)
+
+    def per_stage(self, N: int) -> "QPStatics":
+        """Broadcast 2-D blocks to per-stage (N, ...) stacks (free in XLA)."""
+        b = lambda M: M if M.ndim == 3 else jnp.broadcast_to(M[None], (N,) + M.shape)
+        return QPStatics(
+            Hx=b(self.Hx), Hu=b(self.Hu), HxN=self.HxN,
+            Gx=b(self.Gx), Gu=b(self.Gu), Gf=self.Gf,
+        )
 
 
 class QPData(NamedTuple):
@@ -74,6 +88,7 @@ class QPSolution(NamedTuple):
     lam: jax.Array      # (N, ni)   stage inequality duals  (>= 0)
     lam_f: jax.Array    # (ni_f,)   terminal inequality duals
     nu_dyn: jax.Array   # (N, nx)   dynamics equality duals
+    nu_init: jax.Array  # (nx,)     dual of the x_0 = xinit pin
     s: jax.Array        # (N, ni)   stage slacks
     s_f: jax.Array      # (ni_f,)
     cost: jax.Array     # scalar: y'Py + q'y
@@ -102,27 +117,28 @@ def _residuals(stat: QPStatics, data: QPData, X, U, lam, s, lam_f, s_f, nu_dyn):
         + data.c
         - X[1 : N + 1]
     )
-    # inequalities (with slacks)
-    GzX = mm(X[:N], stat.Gx.T)
-    GzU = mm(U, stat.Gu.T)
+    # inequalities (with slacks); stat is in per-stage form
+    hp = lax.Precision.HIGHEST
+    GzX = jnp.einsum("kri,ki->kr", stat.Gx, X[:N], precision=hp)
+    GzU = jnp.einsum("kru,ku->kr", stat.Gu, U, precision=hp)
     rineq = GzX + GzU + s - data.h
     rineq_f = stat.Gf @ X[N] + s_f - data.hf
 
     # stationarity
-    # rx_k (k=1..N-1): Hx x_k + qx_k + Gx' lam_k + nu_{k-1} - A_k' nu_k
+    # rx_k (k=1..N-1): Hx_k x_k + qx_k + Gx_k' lam_k + nu_{k-1} - A_k' nu_k
     rx = (
-        mm(X[1:N], stat.Hx.T)
+        jnp.einsum("kij,kj->ki", stat.Hx[1:N], X[1:N], precision=hp)
         + data.qx[1:N]
-        + mm(lam[1:N], stat.Gx)
+        + jnp.einsum("kri,kr->ki", stat.Gx[1:N], lam[1:N], precision=hp)
         + nu_dyn[: N - 1]
-        - jnp.einsum("kji,kj->ki", data.A[1:N], nu_dyn[1:N], precision=lax.Precision.HIGHEST)
+        - jnp.einsum("kji,kj->ki", data.A[1:N], nu_dyn[1:N], precision=hp)
     )
     rxN = stat.HxN @ X[N] + data.qx[N] + stat.Gf.T @ lam_f + nu_dyn[N - 1]
     ru = (
-        mm(U, stat.Hu.T)
+        jnp.einsum("kij,kj->ki", stat.Hu, U, precision=hp)
         + data.qu
-        + mm(lam, stat.Gu)
-        - jnp.einsum("kji,kj->ki", data.B, nu_dyn, precision=lax.Precision.HIGHEST)
+        + jnp.einsum("kru,kr->ku", stat.Gu, lam, precision=hp)
+        - jnp.einsum("kji,kj->ki", data.B, nu_dyn, precision=hp)
     )
     return req, rineq, rineq_f, rx, rxN, ru
 
@@ -141,13 +157,13 @@ def _factorize(stat: QPStatics, data: QPData, W, W_f):
         Cxx_k = Hx + Gx' W_k Gx,  Cuu_k = Hu + Gu' W_k Gu,  Cxu_k = Gx' W_k Gu.
     Returns per-stage gains and factors for fast affine re-solves.
     """
-    Gx, Gu, Gf = stat.Gx, stat.Gu, stat.Gf
-    # batched weighted congruences: (N, ., .)
-    WGx = W[:, :, None] * Gx[None]
-    WGu = W[:, :, None] * Gu[None]
-    Cxx = stat.Hx[None] + jnp.einsum("ri,krj->kij", Gx, WGx, precision=lax.Precision.HIGHEST)
-    Cuu = stat.Hu[None] + jnp.einsum("ri,krj->kij", Gu, WGu, precision=lax.Precision.HIGHEST)
-    Cxu = jnp.einsum("ri,krj->kij", Gx, WGu, precision=lax.Precision.HIGHEST)
+    Gx, Gu, Gf = stat.Gx, stat.Gu, stat.Gf   # per-stage (N, ., .)
+    hp = lax.Precision.HIGHEST
+    WGx = W[:, :, None] * Gx
+    WGu = W[:, :, None] * Gu
+    Cxx = stat.Hx + jnp.einsum("kri,krj->kij", Gx, WGx, precision=hp)
+    Cuu = stat.Hu + jnp.einsum("kru,krv->kuv", Gu, WGu, precision=hp)
+    Cxu = jnp.einsum("kri,krv->kiv", Gx, WGu, precision=hp)
     PN = stat.HxN + Gf.T @ (W_f[:, None] * Gf)
 
     def bwd(P_next, blocks):
@@ -221,7 +237,8 @@ def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> 
     """Solve one horizon-structured QP. Pure function: jit/vmap/shard-friendly."""
     N, nx = data.c.shape
     nu = data.B.shape[2]
-    ni = stat.Gx.shape[0]
+    stat = stat.per_stage(N)
+    ni = stat.Gx.shape[1]
     ni_f = stat.Gf.shape[0]
     dtype = data.A.dtype
     n_comp = N * ni + ni_f
@@ -229,12 +246,19 @@ def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> 
     # --- initialization ---
     X0 = jnp.zeros((N + 1, nx), dtype=dtype).at[0].set(data.xinit)
     U0 = jnp.zeros((N, nu), dtype=dtype)
-    slack0 = data.h - mm(X0[:N], stat.Gx.T) - mm(U0, stat.Gu.T)
+    slack0 = data.h - jnp.einsum(
+        "kri,ki->kr", stat.Gx, X0[:N], precision=lax.Precision.HIGHEST
+    )
     s0 = jnp.maximum(slack0, opts.init_slack)
     sf0 = jnp.maximum(data.hf - stat.Gf @ X0[N], opts.init_slack)
     lam0 = jnp.ones((N, ni), dtype=dtype)
     lamf0 = jnp.ones((ni_f,), dtype=dtype)
     nu0 = jnp.zeros((N, nx), dtype=dtype)
+
+    # OSQP-style relative termination scales (qp_jit.py runs OSQP with
+    # eps_abs = eps_rel = 1e-9; we match the relative criterion, which is the
+    # one that stays meaningful for rho ~ 1e6 soft-penalty problems)
+    scale_p = 1.0 + _max_abs(data.c, data.h, data.hf, data.xinit)
 
     def kkt_residual(st):
         X, U, lam, s, lam_f, s_f, nu_dyn = st
@@ -242,8 +266,10 @@ def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> 
             stat, data, X, U, lam, s, lam_f, s_f, nu_dyn
         )
         gap = (jnp.sum(lam * s) + jnp.sum(lam_f * s_f)) / n_comp
-        res = _max_abs(req, rineq, rineq_f, rx, rxN, ru)
-        return jnp.maximum(res, gap)
+        scale_d = 1.0 + _max_abs(data.qx, data.qu, lam, lam_f)
+        res_p = _max_abs(req, rineq, rineq_f) / scale_p
+        res_d = _max_abs(rx, rxN, ru) / scale_d
+        return jnp.maximum(jnp.maximum(res_p, res_d), gap / scale_d)
 
     def body(carry):
         X, U, lam, s, lam_f, s_f, nu_dyn, it, done = carry
@@ -262,14 +288,18 @@ def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> 
             # min 1/2 d'Cd + rbar'd  s.t.  dx+ = A dx + B du + req
             t = (lam * rineq - rcomp) / s                    # (N, ni)
             t_f = (lam_f * rineq_f - rcomp_f) / s_f          # (ni_f,)
-            rbx = rx + mm(t[1:N], stat.Gx)                   # rows k=1..N-1
+            hp = lax.Precision.HIGHEST
+            rbx = rx + jnp.einsum("kri,kr->ki", stat.Gx[1:N], t[1:N], precision=hp)
             rbx = jnp.concatenate([jnp.zeros((1, nx), dtype=dtype), rbx], axis=0)
             rbxN = rxN + stat.Gf.T @ t_f
-            rbu = ru + mm(t, stat.Gu)
+            rbu = ru + jnp.einsum("kru,kr->ku", stat.Gu, t, precision=hp)
             return rbx, rbxN, rbu
 
         def recover(dX, dU, rcomp, rcomp_f):
-            dGz = mm(dX[:N], stat.Gx.T) + mm(dU, stat.Gu.T)
+            hp = lax.Precision.HIGHEST
+            dGz = jnp.einsum("kri,ki->kr", stat.Gx, dX[:N], precision=hp) + jnp.einsum(
+                "kru,ku->kr", stat.Gu, dU, precision=hp
+            )
             ds = -rineq - dGz
             dlam = -(rcomp + lam * ds) / s
             dGz_f = stat.Gf @ dX[N]
@@ -338,12 +368,22 @@ def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> 
 
     res = kkt_residual((X, U, lam, s, lam_f, s_f, nu_dyn))
 
+    # dual of the initial-condition pin, from stationarity at x_0
+    # (consumers: SQP merit-penalty adaptation)
+    nu_init = -(
+        stat.Hx[0] @ X[0]
+        + data.qx[0]
+        + stat.Gx[0].T @ lam[0]
+        - data.A[0].T @ nu_dyn[0]
+    )
+
     # cost = y'Py + q'y  (P = blkdiag(Q, R, ..., Qf) = 0.5 * H blocks)
+    hp = lax.Precision.HIGHEST
     cost = (
         0.5
         * (
-            jnp.sum(mm(X[:N], stat.Hx.T) * X[:N])
-            + jnp.sum(mm(U, stat.Hu.T) * U)
+            jnp.sum(jnp.einsum("kij,kj->ki", stat.Hx, X[:N], precision=hp) * X[:N])
+            + jnp.sum(jnp.einsum("kij,kj->ki", stat.Hu, U, precision=hp) * U)
             + X[N] @ stat.HxN @ X[N]
         )
         + jnp.sum(data.qx * X)
@@ -356,6 +396,7 @@ def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> 
         lam=lam,
         lam_f=lam_f,
         nu_dyn=nu_dyn,
+        nu_init=nu_init,
         s=s,
         s_f=s_f,
         cost=cost,

@@ -126,7 +126,7 @@ def sqp_solve(
         # merit penalty: dominate the dynamics multipliers
         rho_n = jnp.maximum(
             jnp.maximum(rho, opts.merit_rho_min),
-            2.0 * jnp.max(jnp.abs(sol.nu_dyn)),
+            2.0 * jnp.maximum(jnp.max(jnp.abs(sol.nu_dyn)), jnp.max(jnp.abs(sol.nu_init))),
         )
 
         m0 = merit(X, U, rho_n)

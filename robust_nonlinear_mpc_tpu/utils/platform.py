@@ -1,0 +1,30 @@
+"""Runtime platform selection for experiment CLIs.
+
+The container registers the axon TPU backend at interpreter startup and
+pins JAX_PLATFORMS=axon; experiment scripts call `setup()` before any other
+jax usage to pick the platform explicitly:
+
+  * "cpu" + x64 — the accuracy path used for reference-parity simulations
+    (the reference runs OSQP/IPOPT at 1e-9 tolerances on CPU),
+  * default/TPU + f32 — the throughput path used by bench.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup(platform: str | None = "cpu", x64: bool = True, host_devices: int | None = None):
+    if host_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={host_devices}"
+            ).strip()
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+    return jax
