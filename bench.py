@@ -1,0 +1,127 @@
+"""Benchmark: batched rocket SLS-MPC warm-step solves/s on one chip.
+
+The workload is the reference's headline configuration (rocket "rockETH",
+N = 15, rti = 1, fast_sls_rti_steps = 1 — expe/main_rocket_robust_closed_loop.py):
+one "solve" = one full warm MPC step = jacobian sweep + untightened QP +
+dual extraction + column-wise backward Riccati + Phi_x/Phi_u propagation +
+backoffs + tightened QP. Scenarios are batched with vmap; the whole step is
+one jitted XLA program.
+
+Prints ONE JSON line:
+  {"metric": "rocket_sls_mpc_solves_per_s", "value": ..., "unit": "solves/s",
+   "vs_baseline": ...}
+
+vs_baseline: the reference publishes no benchmark numbers (SURVEY.md §6,
+BASELINE.json "published": {}); the recorded baseline is the reference's
+implied real-time budget — dt = 0.05 s => 20 solves/s for the single
+closed-loop plant it can control. vs_baseline = solves_per_s / 20 therefore
+reads "how many real-time rocket MPC loops this sustains per chip".
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from robust_nonlinear_mpc_tpu.expe.main_rocket_robust_closed_loop import (
+        X0,
+        make_rocket_problem,
+    )
+    from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions
+    from robust_nonlinear_mpc_tpu.solvers.fast_sls import FastSLSPersist
+
+    dev = jax.devices()[0]
+    dtype = jnp.zeros(0).dtype
+
+    m, solver = make_rocket_problem(N=15)
+    solver.opts = solver.opts._replace(verbose=False)
+    if dtype == jnp.float32:
+        # f32 throughput path: fixed, f32-achievable IPM tolerance
+        solver.opts = solver.opts._replace(ipm=IPMOptions(max_iter=15, tol=3e-5))
+
+    N = solver.N
+    B = int(jax_env_int("RNM_BENCH_BATCH", 1024))
+    n_rep = int(jax_env_int("RNM_BENCH_REPS", 10))
+
+    # warm-state ensemble: perturbed hover trajectories + perturbed x0
+    rng = np.random.default_rng(0)
+    x0 = np.array(X0)
+    x0s = jnp.asarray(x0[None] + 0.02 * rng.standard_normal((B, m.nx)), dtype)
+    Xs = jnp.asarray(
+        np.linspace(x0, np.zeros(m.nx), N + 1)[None]
+        + 0.01 * rng.standard_normal((B, N + 1, m.nx)),
+        dtype,
+    )
+    Us = jnp.asarray(0.01 * rng.standard_normal((B, N, m.nu)), dtype)
+    persist = FastSLSPersist.init(N, m.nx, m.nu, m.ni, m.ni_f, m.nw, dtype)
+    persists = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), persist
+    )
+
+    def mpc_step(X, U, x0, pers):
+        res = solver._iteration(X, U, x0, pers)
+        return res.X, res.U, res.persist, res.success
+
+    step = jax.jit(jax.vmap(mpc_step))
+
+    # compile + warm up
+    X1, U1, P1, ok = step(Xs, Us, x0s, persists)
+    jax.block_until_ready(X1)
+
+    t0 = time.perf_counter()
+    Xc, Uc, Pc = Xs, Us, persists
+    for _ in range(n_rep):
+        Xc, Uc, Pc, ok = step(Xc, Uc, x0s, Pc)
+    jax.block_until_ready(Xc)
+    t1 = time.perf_counter()
+
+    total_solves = B * n_rep
+    solves_per_s = total_solves / (t1 - t0)
+    ok_frac = float(jnp.mean(ok.astype(jnp.float32)))
+    finite = bool(jnp.all(jnp.isfinite(Xc)))
+
+    # p50 per-step latency for the single-instance real-time question
+    single = jax.jit(mpc_step)
+    Xi, Ui, Pi, _ = single(Xs[0], Us[0], x0s[0], persist)
+    jax.block_until_ready(Xi)
+    lats = []
+    for _ in range(10):
+        ts = time.perf_counter()
+        out = single(Xs[0], Us[0], x0s[0], persist)
+        jax.block_until_ready(out[0])
+        lats.append(time.perf_counter() - ts)
+    lat_ms = 1e3 * float(np.median(lats))
+
+    result = {
+        "metric": "rocket_sls_mpc_solves_per_s",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 20.0, 2),
+        "batch": B,
+        "reps": n_rep,
+        "device": str(dev),
+        "dtype": str(dtype),
+        "success_fraction": round(ok_frac, 4),
+        "finite": finite,
+        "single_step_latency_ms": round(lat_ms, 3),
+        "realtime_budget_ms": 50.0,
+    }
+    print(json.dumps(result))
+
+
+def jax_env_int(name, default):
+    import os
+
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+if __name__ == "__main__":
+    main()

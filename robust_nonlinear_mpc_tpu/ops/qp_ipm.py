@@ -355,7 +355,24 @@ def solve_qp(stat: QPStatics, data: QPData, opts: IPMOptions = IPMOptions()) -> 
         lam_n, lamf_n, nu_n = sel(lam_n, lam), sel(lamf_n, lam_f), sel(nu_n, nu_dyn)
 
         res_n = kkt_residual((X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n))
-        done_n = done | (res_n < opts.tol)
+
+        # numerical safeguards (critical on the f32 TPU path):
+        #  * if the step produced non-finite values, revert to the previous
+        #    iterate and stop — keep the best usable solution,
+        #  * once mu reaches the machine-precision floor, further centering
+        #    cannot improve the solution in this dtype; stop.
+        bad = ~jnp.isfinite(res_n)
+        rev = lambda new, old: jnp.where(bad, old, new)
+        X_n, U_n, s_n, sf_n = rev(X_n, X), rev(U_n, U), rev(s_n, s), rev(sf_n, s_f)
+        lam_n, lamf_n, nu_n = rev(lam_n, lam), rev(lamf_n, lam_f), rev(nu_n, nu_dyn)
+        res_n = jnp.where(bad, kkt_residual((X, U, lam, s, lam_f, s_f, nu_dyn)), res_n)
+
+        eps_mach = jnp.finfo(dtype).eps
+        mu_n = (jnp.sum(lam_n * s_n) + jnp.sum(lamf_n * sf_n)) / n_comp
+        scale_mu = 1.0 + _max_abs(data.qx, data.qu, lam_n, lamf_n)
+        at_floor = mu_n < 10.0 * eps_mach * scale_mu
+
+        done_n = done | (res_n < opts.tol) | bad | at_floor
         return (X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n, it + 1, done_n)
 
     def cond(carry):

@@ -71,7 +71,10 @@ def make_sharded_mc(solver, sim_steps: int, mesh):
         mesh=mesh,
         in_specs=(P(SCENARIO_AXIS), P(SCENARIO_AXIS)),
         out_specs=(P(SCENARIO_AXIS), P()),
-        check_rep=False,
+        # the solver's inner scans initialize carries from replicated
+        # constants that become device-varying; skip the VMA consistency
+        # check (results are validated against unsharded vmap in tests)
+        check_vma=False,
     )
     return jax.jit(sharded)
 
