@@ -260,6 +260,11 @@ class SCPSLSSolver:
         last_success = False
         iterations = 0
         res = None
+        if self.opts.verbose:
+            print(
+                f"{'it (SCP)':>10} {'Δ primal':>10} {'cost nom.':>10} "
+                f"{'p. infeas.':>10} {'SOCP it':>8}"
+            )
         for ii in range(max_iters):
             iterations = ii
             res = self._iter_jit(self._X, self._U, x0, self._persist)
@@ -268,7 +273,14 @@ class SCPSLSSolver:
                 break
             self._X, self._U = res.X, res.U
             self._persist = res.persist
-            self.it_data[ii] = {"cost": float(res.cost), "delta": float(jnp.max(jnp.abs(res.delta_vec)))}
+            delta = float(jnp.max(jnp.abs(res.delta_vec)))
+            self.it_data[ii] = {"cost": float(res.cost), "delta": delta}
+            if self.opts.verbose:
+                print(
+                    f"{ii:>10} {delta:>10.2e} {float(res.cost):>10.2e} "
+                    f"{float(res.primal_infeasibility):>10.2e} "
+                    f"{int(res.sls.iteration_number):>8}"
+                )
 
             if run_until_converged and float(jnp.max(jnp.abs(res.delta_vec))) < self.opts.epsilon_convergence:
                 if self.opts.verbose:
@@ -331,6 +343,110 @@ class SCPSLSSolver:
             "t_jac_ms": 0.0,
             "t_qp_ms": t_ms,
             "t_backward_ms": 0.0,
+        }
+        return out
+
+    def solve_profiled(self, x0):
+        """Like solve() but runs the pipeline stage-by-stage with
+        block_until_ready barriers to produce genuine per-stage timings
+        (t_jac_ms / t_qp_ms / t_backward_ms — the reference's three
+        instrumented spans, SCP_SLS_jit.py:268, qp_jit.py:392, 
+        fast_SLS_jit.py:504). Only supports rti = 1 / fast_sls_rti_steps = 1
+        (the rocket RTI headline config); falls back to solve() otherwise.
+        """
+        if not (self.opts.rti == 1 and self.opts.fast_sls_rti_steps == 1):
+            return self.solve(x0)
+        import time as _time
+
+        from robust_nonlinear_mpc_tpu.ops.qp_ipm import QPData, solve_qp
+        from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
+            backoff_from_phi,
+            backward_solve,
+            evaluate_dual_eta,
+            propagate,
+        )
+
+        x0 = jnp.asarray(x0, self.dtype).reshape(-1)
+        if self._X is None:
+            if not self.solve_nominal_trajectory(x0):
+                return {"success": False}
+        m, N = self.m, self.N
+        stat = self.prob.stat
+        X, U = self._X, self._U
+
+        if not hasattr(self, "_prof_fns"):
+            Gmat = jnp.concatenate([stat.Gx, stat.Gu], axis=1)
+
+            def jac_stage(X, U, x0):
+                A, B, c = m.linearize_traj(X, U)
+                g_res = self._g[None] - mm(X[:N], stat.Gx.T) - mm(U, stat.Gu.T)
+                gf_res = self._gf - stat.Gf @ X[N]
+                qx = jnp.concatenate(
+                    [2 * mm(X[:N], self._Qj.T), (2 * self._Qfj @ X[N])[None]], axis=0
+                )
+                qu = 2 * mm(U, self._Rj.T)
+                return A, B, c, g_res, gf_res, qx, qu
+
+            def qp_stage(A, B, c, qx, qu, h, hf, xinit):
+                return solve_qp(
+                    stat,
+                    QPData(A=A, B=B, c=c, qx=qx, qu=qu, h=h, hf=hf, xinit=xinit),
+                    self.opts.ipm,
+                )
+
+            def bwd_stage(A, B, lam, lam_f, beta, beta_f):
+                eta, eta_f = evaluate_dual_eta(
+                    lam, lam_f, beta, beta_f, self.opts.epsilon_backoff
+                )
+                _, K = backward_solve(A, B, Gmat, stat.Gf, eta, eta_f, self.prob.regs)
+                return eta, eta_f, K
+
+            def tighten_stage(A, B, K):
+                Phi_x, Phi_u = propagate(A, B, self.prob.E, K)
+                return backoff_from_phi(
+                    Phi_x, Phi_u, stat.Gx, stat.Gu, stat.Gf,
+                    self.opts.epsilon_backoff,
+                )
+
+            self._prof_fns = (
+                jax.jit(jac_stage), jax.jit(qp_stage),
+                jax.jit(bwd_stage), jax.jit(tighten_stage),
+            )
+        jac_f, qp_f, bwd_f, tighten_f = self._prof_fns
+
+        def timed(f, *a):
+            t0 = _time.perf_counter()
+            out = f(*a)
+            jax.block_until_ready(out)
+            return out, (_time.perf_counter() - t0) * 1e3
+
+        (A, B, c, g_res, gf_res, qx, qu), t_jac = timed(jac_f, X, U, x0)
+        xinit = x0 - X[0]
+        sol1, t_qp1 = timed(qp_f, A, B, c, qx, qu, g_res, gf_res, xinit)
+        beta0 = jnp.full((N, N, m.ni), self.opts.epsilon_backoff, self.dtype)
+        betaf0 = jnp.full((N + 1, m.ni_f), self.opts.epsilon_backoff, self.dtype)
+        (eta, eta_f, K), t_bwd = timed(bwd_f, A, B, sol1.lam, sol1.lam_f, beta0, betaf0)
+        (beta, beta_f, backoff, backoff_f), t_tighten = timed(tighten_f, A, B, K)
+        sol2, t_qp2 = timed(
+            qp_f, A, B, c, qx, qu, g_res - backoff, gf_res - backoff_f, xinit
+        )
+
+        self._X = X + sol2.X
+        self._U = U + sol2.U
+        out = {
+            "success": bool(sol1.success & sol2.success),
+            "primal_x": np.asarray(self._X).T,
+            "primal_u": np.asarray(self._U).T,
+            "backoff": np.asarray(backoff),
+            "backoff_f": np.asarray(backoff_f),
+            "backoff_x": np.concatenate(
+                [np.asarray(backoff)[:, : m.nx], np.asarray(backoff_f)[None, : m.nx]]
+            ),
+            "backoff_u": np.asarray(backoff)[:, m.nx : m.nx + m.nu],
+            "t_jac_ms": t_jac,
+            "t_qp_ms": t_qp1 + t_qp2,
+            "t_backward_ms": t_bwd,
+            "t_tighten_ms": t_tighten,
         }
         return out
 
