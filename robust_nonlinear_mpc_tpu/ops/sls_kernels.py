@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from robust_nonlinear_mpc_tpu.utils.numerics import mm, sym
+from robust_nonlinear_mpc_tpu.utils.numerics import sym, tube_prec
 
 
 class SLSRegs(NamedTuple):
@@ -64,13 +64,15 @@ def evaluate_dual_eta(mu, mu_f, beta, beta_f, epsilon_backoff):
 # ----------------------------------------------------------------------
 def riccati_step(A, B, Cx, Cu, Sk):
     """One Riccati step (reference riccati_step_njit, fast_SLS_jit.py:43-62)."""
-    x = mm(B.T, Sk)                 # (nu, nx)
-    y = mm(A.T, Sk)                 # (nx, nx)
-    H = Cu + mm(x, B)               # (nu, nu)
-    F = mm(x, A)                    # (nu, nx)
+    tp = tube_prec()
+    mmt = lambda a, b: jnp.matmul(a, b, precision=tp)
+    x = mmt(B.T, Sk)                 # (nu, nx)
+    y = mmt(A.T, Sk)                 # (nx, nx)
+    H = Cu + mmt(x, B)               # (nu, nu)
+    F = mmt(x, A)                    # (nu, nx)
     L = jnp.linalg.cholesky(sym(H))
     K = -jax.scipy.linalg.cho_solve((L, True), F)
-    S = Cx + mm(y, A + mm(B, K))
+    S = Cx + mmt(y, A + mmt(B, K))
     return K, sym(S)
 
 
@@ -96,12 +98,14 @@ def backward_solve(A, B, Gmat, Gf, eta, eta_f, regs: SLSRegs):
 
     def column(j, eta_col, eta_f_j):
         # eta_col: (N, ni) = eta[:, j]
-        SN = mm(Gf.T, eta_f_j[:, None] * Gf) + regs.Q_reg_f
+        SN = jnp.matmul(Gf.T, eta_f_j[:, None] * Gf, precision=tube_prec()) + regs.Q_reg_f
 
         def step(S_next, inp):
             k, A_k, B_k, eta_kj = inp
-            Cxx = mm(Gx.T, eta_kj[:, None] * Gx) + regs.Q_reg
-            Cuu = mm(Gu.T, eta_kj[:, None] * Gu) + regs.R_reg
+            tp = tube_prec()
+            mmt = lambda a, b: jnp.matmul(a, b, precision=tp)
+            Cxx = mmt(Gx.T, eta_kj[:, None] * Gx) + regs.Q_reg
+            Cuu = mmt(Gu.T, eta_kj[:, None] * Gu) + regs.R_reg
             K_k, S_k = riccati_step(A_k, B_k, Cxx, Cuu, S_next)
             active = k >= j
             S_out = jnp.where(active, S_k, jnp.zeros_like(S_k))
@@ -145,11 +149,11 @@ def propagate(A, B, E, K):
         k, A_k, B_k, K_k, E_k = inp
         # inject this step's diagonal: Phi_x[k, k] = E[k]
         row = jnp.where((cols == k)[:, None, None], E_k[None], row)
-        phi_u = jnp.einsum("jui,jiw->juw", K_k, row, precision=lax.Precision.HIGHEST)
+        phi_u = jnp.einsum("jui,jiw->juw", K_k, row, precision=tube_prec())
         Acl = A_k[None] + jnp.einsum(
-            "iu,juv->jiv", B_k, K_k, precision=lax.Precision.HIGHEST
+            "iu,juv->jiv", B_k, K_k, precision=tube_prec()
         )
-        nxt = jnp.einsum("jiv,jvw->jiw", Acl, row, precision=lax.Precision.HIGHEST)
+        nxt = jnp.einsum("jiv,jvw->jiw", Acl, row, precision=tube_prec())
         active = (cols <= k)[:, None, None]
         nxt = jnp.where(active, nxt, 0.0)
         phi_u = jnp.where(active, phi_u, 0.0)
@@ -177,8 +181,8 @@ def backoff_from_phi(Phi_x, Phi_u, Gx, Gu, Gf, epsilon):
     """
     N = Phi_u.shape[0]
     Z = jnp.einsum(
-        "ri,kjiw->kjrw", Gx, Phi_x[:N], precision=lax.Precision.HIGHEST
-    ) + jnp.einsum("ru,kjuw->kjrw", Gu, Phi_u, precision=lax.Precision.HIGHEST)
+        "ri,kjiw->kjrw", Gx, Phi_x[:N], precision=tube_prec()
+    ) + jnp.einsum("ru,kjuw->kjrw", Gu, Phi_u, precision=tube_prec())
     beta = jnp.sum(Z * Z, axis=-1)  # (N, N+1, ni) -> trim to (N, N)
     beta = beta[:, :N, :]
     kk = jnp.arange(N)[:, None]
@@ -186,7 +190,7 @@ def backoff_from_phi(Phi_x, Phi_u, Gx, Gu, Gf, epsilon):
     tri = (jj <= kk)[:, :, None]
     beta = jnp.where(tri, jnp.maximum(beta, epsilon), 0.0)
 
-    Zf = jnp.einsum("ri,jiw->jrw", Gf, Phi_x[N], precision=lax.Precision.HIGHEST)
+    Zf = jnp.einsum("ri,jiw->jrw", Gf, Phi_x[N], precision=tube_prec())
     beta_f = jnp.maximum(jnp.sum(Zf * Zf, axis=-1), epsilon)  # (N+1, ni_f)
 
     backoff = jnp.sum(jnp.sqrt(jnp.where(tri, beta, 0.0)), axis=1)  # (N, ni)
@@ -200,9 +204,9 @@ def backoff_from_phi(Phi_x, Phi_u, Gx, Gu, Gf, epsilon):
 def tube_cost(Phi_x, Phi_u, regs: SLSRegs):
     """|| blkdiag(kron(I_N, Q_reg), Q_reg_f, kron(I_N, R_reg)) [Phi_x; Phi_u] ||_F."""
     N = Phi_u.shape[0]
-    qx = jnp.einsum("ab,kjbw->kjaw", regs.Q_reg, Phi_x[:N], precision=lax.Precision.HIGHEST)
-    qf = jnp.einsum("ab,jbw->jaw", regs.Q_reg_f, Phi_x[N], precision=lax.Precision.HIGHEST)
-    ru = jnp.einsum("ab,kjbw->kjaw", regs.R_reg, Phi_u, precision=lax.Precision.HIGHEST)
+    qx = jnp.einsum("ab,kjbw->kjaw", regs.Q_reg, Phi_x[:N], precision=tube_prec())
+    qf = jnp.einsum("ab,jbw->jaw", regs.Q_reg_f, Phi_x[N], precision=tube_prec())
+    ru = jnp.einsum("ab,kjbw->kjaw", regs.R_reg, Phi_u, precision=tube_prec())
     total = jnp.sum(qx * qx) + jnp.sum(qf * qf) + jnp.sum(ru * ru)
     return jnp.sqrt(total)
 

@@ -82,9 +82,14 @@ def soft_nlp_solve(
 
     x0 = jnp.asarray(x0)
     dtype = x0.dtype
-    Q = jnp.asarray(Q, dtype)
-    R = jnp.asarray(R, dtype)
-    Qf = jnp.asarray(Qf, dtype)
+    # numpy copies FIRST (Q/R/Qf may arrive as jnp values; the static
+    # problem blocks below must be built with concrete numpy)
+    Q_np = np.asarray(Q, float)
+    R_np = np.asarray(R, float)
+    Qf_np = np.asarray(Qf, float)
+    Q = jnp.asarray(Q_np, dtype)
+    R = jnp.asarray(R_np, dtype)
+    Qf = jnp.asarray(Qf_np, dtype)
     G = np.asarray(model.G, float)
     g = np.asarray(model.g, float)
     Gf = np.asarray(model.Gf, float)
@@ -97,9 +102,9 @@ def soft_nlp_solve(
     assert ni_f <= ni, "terminal rows are padded into the stage row budget"
 
     # ---- per-stage statics ----------------------------------------------
-    Hx = np.stack([2 * np.asarray(Q, float)] * N + [2 * np.asarray(Qf, float)])
+    Hx = np.stack([2 * Q_np] * N + [2 * Qf_np])
     Hu_one = np.zeros((nua, nua))
-    Hu_one[:nu, :nu] = 2 * np.asarray(R, float)
+    Hu_one[:nu, :nu] = 2 * R_np
     # rho2 * gamma^2 = gamma~^2  ->  Hessian block 2 I in scaled coordinates
     Hu_one[nu : nu + ni, nu : nu + ni] = 2 * np.eye(ni)
     Hu_one[nu + ni :, nu + ni :] = 2 * np.eye(ni_f)
