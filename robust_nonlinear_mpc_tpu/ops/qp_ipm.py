@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from robust_nonlinear_mpc_tpu.utils.numerics import mm, sym
+from robust_nonlinear_mpc_tpu.utils.numerics import mm, spd_solve_refined, sym
 
 
 class QPStatics(NamedTuple):
@@ -173,18 +173,18 @@ def _factorize(stat: QPStatics, data: QPData, W, W_f):
         Fxx = Cxx_k + mm(A.T, PA)
         Fuu = Cuu_k + mm(B.T, PB)
         Fxu = Cxu_k + mm(A.T, PB)
-        # Cholesky of Fuu (PD: Hu = 2R > 0)
+        # SPD solve of Fuu (PD: Hu = 2R > 0); small-block closed form +
+        # refinement beats TPU batched cholesky/triangular solves
         n_u = Fuu.shape[0]
         Fuu_r = sym(Fuu) + jnp.trace(Fuu) * 1e-14 * jnp.eye(n_u, dtype=Fuu.dtype)
-        L = jnp.linalg.cholesky(Fuu_r)
-        K = -jax.scipy.linalg.cho_solve((L, True), Fxu.T)   # (nu, nx)
+        K = -spd_solve_refined(Fuu_r, Fxu.T)   # (nu, nx)
         P = sym(Fxx + mm(Fxu, K))
-        return P, (K, L, Fxu, P_next)
+        return P, (K, Fuu_r, Fxu, P_next)
 
     blocks = (data.A, data.B, Cxx, Cuu, Cxu)
-    _, (K, L, Fxu, P_next_seq) = lax.scan(bwd, PN, blocks, reverse=True)
+    _, (K, Fuu_seq, Fxu, P_next_seq) = lax.scan(bwd, PN, blocks, reverse=True)
     # P_next_seq[k] = P_{k+1}
-    return K, L, Fxu, P_next_seq
+    return K, Fuu_seq, Fxu, P_next_seq
 
 
 def _solve_newton(stat: QPStatics, data: QPData, fact, rbx, rbxN, rbu, req):
@@ -194,21 +194,21 @@ def _solve_newton(stat: QPStatics, data: QPData, fact, rbx, rbxN, rbu, req):
     rbxN: (nx,), rbu: (N, nu), req: (N, nx).
     Returns dX (N+1, nx), dU (N, nu), dnu (N, nx).
     """
-    K, L, Fxu, P_next_seq = fact
+    K, Fuu_seq, Fxu, P_next_seq = fact
     N = req.shape[0]
     nx = req.shape[1]
 
     rbx_full = jnp.concatenate([rbx, rbxN[None]], axis=0)  # rows 0..N (row 0 unused)
 
     def bwd(p_next, per_k):
-        A, B, L_k, Fxu_k, Pn, rbx_k, rbu_k, req_k = per_k
+        A, B, Fuu_k, Fxu_k, Pn, rbx_k, rbu_k, req_k = per_k
         w = p_next + mm(Pn, req_k[:, None])[:, 0]
         f_u = rbu_k + B.T @ w
-        kff = -jax.scipy.linalg.cho_solve((L_k, True), f_u)
+        kff = -spd_solve_refined(Fuu_k, f_u[:, None])[:, 0]
         p = rbx_k + A.T @ w + Fxu_k @ kff
         return p, (kff, p_next)
 
-    per_k = (data.A, data.B, L, Fxu, P_next_seq, rbx_full[:N], rbu, req)
+    per_k = (data.A, data.B, Fuu_seq, Fxu, P_next_seq, rbx_full[:N], rbu, req)
     _, (kff, p_next_seq) = lax.scan(bwd, rbxN, per_k, reverse=True)
 
     def fwd(dx, per_k):

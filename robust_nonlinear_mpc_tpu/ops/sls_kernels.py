@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from robust_nonlinear_mpc_tpu.utils.numerics import sym, tube_prec
+from robust_nonlinear_mpc_tpu.utils.numerics import spd_solve_small, sym, tube_prec
 
 
 class SLSRegs(NamedTuple):
@@ -70,8 +70,7 @@ def riccati_step(A, B, Cx, Cu, Sk):
     y = mmt(A.T, Sk)                 # (nx, nx)
     H = Cu + mmt(x, B)               # (nu, nu)
     F = mmt(x, A)                    # (nu, nx)
-    L = jnp.linalg.cholesky(sym(H))
-    K = -jax.scipy.linalg.cho_solve((L, True), F)
+    K = -spd_solve_small(sym(H), F)
     S = Cx + mmt(y, A + mmt(B, K))
     return K, sym(S)
 
