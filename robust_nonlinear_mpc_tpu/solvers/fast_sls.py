@@ -176,13 +176,13 @@ def fast_sls_solve(
     applied_backoff = jnp.zeros((N, ni), dtype=dtype)
     applied_backoff_f = jnp.zeros((ni_f,), dtype=dtype)
 
-    def forward(applied, applied_f):
+    def forward(applied, applied_f, init=None):
         data = QPData(
             A=A, B=B, c=c, qx=qx, qu=qu,
             h=g_res - applied, hf=gf_res - applied_f,
             xinit=xinit_dev,
         )
-        return solve_qp(prob.stat, data, opts.ipm)
+        return solve_qp(prob.stat, data, opts.ipm, init=init)
 
     zero_sol = forward(applied_backoff, applied_backoff_f)  # traced template
     # note: zero_sol is the first real forward solve (untightened bounds)
@@ -260,7 +260,7 @@ def fast_sls_solve(
         a fresh QP on the current tightened bounds (used for iterations > 0;
         iteration 0 reuses the entry solve)."""
         if resolve_forward:
-            sol = forward(carry.applied, carry.applied_f)
+            sol = forward(carry.applied, carry.applied_f, init=carry.sol)
             carry = carry._replace(
                 sol=sol,
                 infeasible=carry.infeasible | ~sol.success,
@@ -286,7 +286,7 @@ def fast_sls_solve(
         # --- RTI mode: exactly `steps` iterations + final forward QP ---
         for i in range(steps):
             carry = step(carry, resolve_forward=(i > 0))
-        final = forward(carry.applied, carry.applied_f)
+        final = forward(carry.applied, carry.applied_f, init=carry.sol)
         # keep the last feasible solution if the final solve failed mid-loop
         use_final = ~carry.infeasible
         sol = jax.tree_util.tree_map(
