@@ -75,9 +75,13 @@ def run_closed_loop(
         if i > 0:
             solver.reset_warm_start()
         sol = solver.solve(x0)
-        if not sol.get("success", False):
-            if verbose:
-                print(f"[closed_loop] step {i}: solver failed")
+        if "primal_x" not in sol:
+            # unrecoverable failure (e.g. nominal init failed): stop here,
+            # return the partial log with the failure marked
+            print(f"[closed_loop] step {i}: solver failed hard; truncating run")
+            break
+        if not sol.get("success", False) and verbose:
+            print(f"[closed_loop] step {i}: solver reported failure")
         t_solve[i] = sol.get("t_solve_ms", np.nan)
 
         bo_x[:, :, i] = sol["backoff_x"].T

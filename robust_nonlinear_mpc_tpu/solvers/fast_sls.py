@@ -63,6 +63,10 @@ class FastSLSOptions(NamedTuple):
     max_iter: int = 30          # safety cap in until-convergence mode
     conv_tol: float = 1e-3      # primal-only criterion (fast_SLS_jit.py:594)
     epsilon_backoff: float = 1e-10
+    # warm-start the tightened QP re-solves from the previous solution.
+    # Off by default: measured on TPU f32, Mehrotra recovers poorly from the
+    # near-boundary warm point (success 73% vs 100%, no speedup).
+    warm_start_qp: bool = False
     ipm: IPMOptions = IPMOptions()
 
 
@@ -260,7 +264,8 @@ def fast_sls_solve(
         a fresh QP on the current tightened bounds (used for iterations > 0;
         iteration 0 reuses the entry solve)."""
         if resolve_forward:
-            sol = forward(carry.applied, carry.applied_f, init=carry.sol)
+            init = carry.sol if opts.warm_start_qp else None
+            sol = forward(carry.applied, carry.applied_f, init=init)
             carry = carry._replace(
                 sol=sol,
                 infeasible=carry.infeasible | ~sol.success,
@@ -286,7 +291,10 @@ def fast_sls_solve(
         # --- RTI mode: exactly `steps` iterations + final forward QP ---
         for i in range(steps):
             carry = step(carry, resolve_forward=(i > 0))
-        final = forward(carry.applied, carry.applied_f, init=carry.sol)
+        final = forward(
+            carry.applied, carry.applied_f,
+            init=carry.sol if opts.warm_start_qp else None,
+        )
         # keep the last feasible solution if the final solve failed mid-loop
         use_final = ~carry.infeasible
         sol = jax.tree_util.tree_map(

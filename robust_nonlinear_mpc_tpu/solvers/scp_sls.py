@@ -231,19 +231,62 @@ class SCPSLSSolver:
     # Public API (reference SCP_SLS methods)
     # ------------------------------------------------------------------
     def solve_nominal_trajectory(self, x0):
-        """Nominal initialization via SQP (replaces IPOPT, SCP_SLS_jit.py:161)."""
+        """Nominal initialization via SQP (replaces IPOPT, SCP_SLS_jit.py:161).
+
+        The hard-constrained SQP can hit an infeasible subproblem from a
+        cold start on aggressive initial states (IPOPT survives these with
+        its internal feasibility restoration); fall back to the always-
+        feasible soft-slack SQP and accept its solution when the slacks
+        vanish (then it IS the hard optimum).
+        """
+        x0 = jnp.asarray(x0, self.dtype)
         sol = sqp_solve(
-            self.m, self.N, self.Q, self.R, self.Qf,
-            jnp.asarray(x0, self.dtype), opts=self.opts.sqp,
+            self.m, self.N, self.Q, self.R, self.Qf, x0, opts=self.opts.sqp,
         )
-        if not bool(sol.success):
+        if bool(sol.success):
+            self._X, self._U = sol.X, sol.U
             if self.opts.verbose:
-                print("SCP-SLS: nominal trajectory initialization failed")
-            return False
-        self._X, self._U = sol.X, sol.U
+                print(f"SCP-SLS: nominal init converged, cost {float(sol.cost):.6e}")
+            return True
+
+        from robust_nonlinear_mpc_tpu.solvers.soft_nlp import soft_nlp_solve
+
+        soft = soft_nlp_solve(
+            self.m, self.N, self.Q, self.R, self.Qf, x0,
+            rho_soft=1e6, rho_soft_l1=1e6,
+        )
+        max_slack = float(
+            jnp.maximum(jnp.max(soft.gamma), jnp.max(soft.gamma_f))
+        )
+        if bool(soft.success):
+            # polish: re-run the hard SQP from the (near-)feasible soft point
+            hard = sqp_solve(
+                self.m, self.N, self.Q, self.R, self.Qf, x0,
+                X_init=soft.X, U_init=soft.U, opts=self.opts.sqp,
+            )
+            if bool(hard.success):
+                self._X, self._U = hard.X, hard.U
+                if self.opts.verbose:
+                    print(
+                        "SCP-SLS: nominal init via soft+polish, "
+                        f"cost {float(hard.cost):.6e}"
+                    )
+                return True
+            if max_slack < 1e-3:
+                self._X, self._U = soft.X, soft.U
+                if self.opts.verbose:
+                    print(
+                        "SCP-SLS: nominal init via soft fallback "
+                        f"(residual slacks {max_slack:.2e}), "
+                        f"cost {float(soft.cost_nominal):.6e}"
+                    )
+                return True
         if self.opts.verbose:
-            print(f"SCP-SLS: nominal init converged, cost {float(sol.cost):.6e}")
-        return True
+            print(
+                "SCP-SLS: nominal trajectory initialization failed "
+                f"(soft slacks {max_slack:.2e})"
+            )
+        return False
 
     def solve(self, x0):
         x0 = jnp.asarray(x0, self.dtype).reshape(-1)
