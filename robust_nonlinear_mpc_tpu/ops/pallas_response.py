@@ -15,6 +15,13 @@ Mosaic automatically; shapes here are tiny (<= 64) so everything fits VMEM.
 
 Falls back transparently to the pure-XLA implementations on CPU (interpret
 mode in tests).
+
+Status: numerically validated against the naive-math oracles in interpret
+mode (tests/test_pallas_response.py); on-device Mosaic compilation currently
+trips an internal relayout bug in the reduce-then-store pattern on this
+toolchain (jax 0.9/v5e remote-compile), so the default fast-SLS pipeline
+keeps the XLA path (which is within ~25% of the fused kernel's modeled HBM
+bound at these tiny shapes); revisit when the toolchain updates.
 """
 
 from __future__ import annotations
@@ -43,6 +50,8 @@ def _response_kernel(
 
     row_ref[...] = jnp.zeros((N + 1, nx, nw), f32)
     tube_acc = jnp.zeros((), f32)
+    beta_rows = []
+    backoff_rows = []
 
     for k in range(N):
         # inject diagonal Phi_x[k, k] = E[k]
@@ -70,9 +79,9 @@ def _response_kernel(
         cols = jax.lax.broadcasted_iota(jnp.int32, (N + 1, 1, 1), 0)
         active = cols <= k
         b_k = jnp.sum(Z * Z, axis=2, keepdims=True)       # (N+1, ni, 1)
-        b_k = jnp.where(active, jnp.maximum(b_k, eps), 0.0)
-        beta_ref[k, :, :] = b_k[:, :, 0][:N, :]
-        backoff_ref[k, :] = jnp.sum(jnp.sqrt(b_k[:, :, 0]), axis=0)
+        b_k = jnp.where(active, jnp.maximum(b_k, eps), 0.0)[..., 0]
+        beta_rows.append(b_k[:N])
+        backoff_rows.append(jnp.sum(jnp.sqrt(b_k), axis=0, keepdims=True))
 
         # tube cost accumulation: ||Qr Phi_x[k, :]||_F^2 + ||Rr Phi_u[k, :]||_F^2
         qphi = jax.lax.dot_general(
@@ -99,6 +108,9 @@ def _response_kernel(
         cols3 = jax.lax.broadcasted_iota(jnp.int32, (N + 1, 1, 1), 0)
         row_ref[...] = jnp.where(cols3 <= k, nxt, 0.0)
 
+    beta_ref[...] = jnp.stack(beta_rows)                  # (N, N, ni)
+    backoff_ref[...] = jnp.concatenate(backoff_rows, axis=0)  # (N, ni)
+
     # terminal row: diagonal E[N], then terminal backoffs + tube terms
     row_ref[N, :, :] = E_ref[N, :, :]
     last = row_ref[...]
@@ -117,7 +129,7 @@ def _response_kernel(
         jnp.broadcast_to(Qrf[None], (N + 1, nx, nx)), last,
         (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32,
     )
-    tube_ref[0, 0] = jnp.sqrt(tube_acc + jnp.sum(qfphi * qfphi))
+    tube_ref[...] = jnp.sqrt(tube_acc + jnp.sum(qfphi * qfphi)).reshape(1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
