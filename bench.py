@@ -34,6 +34,7 @@ def main():
     )
     from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions
     from robust_nonlinear_mpc_tpu.solvers.fast_sls import FastSLSPersist
+    from robust_nonlinear_mpc_tpu.utils.numerics import set_tube_precision
 
     dev = jax.devices()[0]
     dtype = jnp.zeros(0).dtype
@@ -41,8 +42,15 @@ def main():
     m, solver = make_rocket_problem(N=15)
     solver.opts = solver.opts._replace(verbose=False)
     if dtype == jnp.float32:
-        # f32 throughput path: fixed, f32-achievable IPM tolerance
+        # f32 throughput path: f32-achievable tolerances; the untightened
+        # first QP (duals-only consumer) runs at reduced accuracy, and the
+        # tube synthesis uses the fast MXU precision
         solver.opts = solver.opts._replace(ipm=IPMOptions(max_iter=15, tol=3e-5))
+        set_tube_precision("default")
+        fso = solver._fast_sls_opts()._replace(
+            ipm_first=IPMOptions(max_iter=8, tol=1e-3)
+        )
+        solver._fast_sls_opts = lambda: fso
 
     N = solver.N
     B = int(jax_env_int("RNM_BENCH_BATCH", 1024))

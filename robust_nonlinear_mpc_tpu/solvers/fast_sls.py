@@ -68,6 +68,11 @@ class FastSLSOptions(NamedTuple):
     # near-boundary warm point (success 73% vs 100%, no speedup).
     warm_start_qp: bool = False
     ipm: IPMOptions = IPMOptions()
+    # optional looser IPM for the *untightened* first solve of an RTI
+    # iteration: its primal is discarded (the final tightened solve decides
+    # the control); only its duals feed eta -> backoffs, which tolerate
+    # reduced accuracy. None = use `ipm` for both (the parity default).
+    ipm_first: IPMOptions | None = None
 
 
 class FastSLSPersist(NamedTuple):
@@ -180,15 +185,16 @@ def fast_sls_solve(
     applied_backoff = jnp.zeros((N, ni), dtype=dtype)
     applied_backoff_f = jnp.zeros((ni_f,), dtype=dtype)
 
-    def forward(applied, applied_f, init=None):
+    def forward(applied, applied_f, init=None, first=False):
         data = QPData(
             A=A, B=B, c=c, qx=qx, qu=qu,
             h=g_res - applied, hf=gf_res - applied_f,
             xinit=xinit_dev,
         )
-        return solve_qp(prob.stat, data, opts.ipm, init=init)
+        ipm = opts.ipm_first if (first and opts.ipm_first is not None) else opts.ipm
+        return solve_qp(prob.stat, data, ipm, init=init)
 
-    zero_sol = forward(applied_backoff, applied_backoff_f)  # traced template
+    zero_sol = forward(applied_backoff, applied_backoff_f, first=True)
     # note: zero_sol is the first real forward solve (untightened bounds)
 
     class Carry(NamedTuple):
