@@ -55,6 +55,35 @@ class Pendulum(Model):
         )
         return jnp.stack([x_dot, x_ddot, theta_dot, theta_ddot], axis=-1)
 
+    # ------------------------------------------------------------------
+    # Per-model plotting (reference dyn/pendulum.py:46-144)
+    # ------------------------------------------------------------------
+    def plot_nominal_trajectory(self, X, time=None, ax=None):
+        from robust_nonlinear_mpc_tpu.utils.plotting import plot_nominal_trajectory
+
+        return plot_nominal_trajectory(X, dt=self.dt, time=time, ax=ax)
+
+    def plot_input_nominal_trajectory(self, U, time=None, ax=None):
+        from robust_nonlinear_mpc_tpu.utils.plotting import plot_nominal_trajectory
+
+        return plot_nominal_trajectory(
+            np.asarray(U).reshape(1, -1), dt=self.dt, time=time, ax=ax
+        )
+
+    def plot_tube(self, backoff, center, time=None, ax=None):
+        from robust_nonlinear_mpc_tpu.utils.plotting import plot_tube
+
+        return plot_tube(backoff, center, dt=self.dt, time=time, ax=ax)
+
+    def plot_input_tube(self, backoff, center, time=None, ax=None):
+        from robust_nonlinear_mpc_tpu.utils.plotting import plot_tube
+
+        return plot_tube(
+            np.asarray(backoff).reshape(1, -1),
+            np.asarray(center).reshape(1, -1),
+            dt=self.dt, time=time, ax=ax,
+        )
+
     def replace_constraints(self, x_max, x_min, u_max, u_min, x_max_f, x_min_f):
         """Asymmetric box override (reference dyn/pendulum.py:146-148).
 
