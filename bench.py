@@ -53,7 +53,7 @@ def main():
         solver._fast_sls_opts = lambda: fso
 
     N = solver.N
-    B = int(jax_env_int("RNM_BENCH_BATCH", 1024))
+    B = int(jax_env_int("RNM_BENCH_BATCH", 256))
     n_rep = int(jax_env_int("RNM_BENCH_REPS", 10))
 
     # warm-state ensemble: perturbed hover trajectories + perturbed x0

@@ -12,7 +12,6 @@ the collectives only aggregate validation statistics.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
