@@ -161,3 +161,31 @@ def test_lti_container():
     x = jnp.asarray([1.0, 2.0])
     u = jnp.asarray([3.0])
     np.testing.assert_allclose(np.asarray(lti.ddyn(x, u)), A @ np.asarray(x) + B @ np.asarray(u))
+
+
+def test_integrator_model():
+    from robust_nonlinear_mpc_tpu.models import Integrator
+
+    m = Integrator(order=3, dt=0.1)
+    x = jnp.asarray([1.0, 2.0, 3.0])
+    u = jnp.asarray([4.0])
+    np.testing.assert_allclose(np.asarray(m.ode(x, u)), [2.0, 3.0, 4.0])
+    A, B = m.linearize(x, u)
+    # discrete chain of integrators: A upper-triangular with dt powers
+    np.testing.assert_allclose(np.asarray(A)[0, 1], 0.1, atol=1e-12)
+    assert m.G.shape == (8, 4)
+
+
+def test_integrator_mpc_end_to_end():
+    from robust_nonlinear_mpc_tpu.models import Integrator
+    from robust_nonlinear_mpc_tpu.solvers.scp_sls import SCPSLSSolver
+
+    m = Integrator(order=2, dt=0.1, u_max=2.0)
+    solver = SCPSLSSolver(
+        10, np.eye(2), np.eye(1), m, 10 * np.eye(2),
+        Q_reg=1e2 * np.eye(2), R_reg=1e2 * np.eye(1), Q_reg_f=1e3 * np.eye(2),
+        rti=1, fast_sls_rti_steps=1,
+    )
+    sol = solver.solve(np.array([2.0, 0.0]))
+    assert sol["success"]
+    assert np.max(np.abs(sol["primal_u"])) <= 2.0 + 1e-8
