@@ -45,7 +45,10 @@ def main():
         # f32 throughput path: f32-achievable tolerances; the untightened
         # first QP (duals-only consumer) runs at reduced accuracy, and the
         # tube synthesis uses the fast MXU precision
-        solver.opts = solver.opts._replace(ipm=IPMOptions(max_iter=15, tol=3e-5))
+        qp_iters = jax_env_int("RNM_BENCH_QP_ITERS", 15)
+        solver.opts = solver.opts._replace(
+            ipm=IPMOptions(max_iter=qp_iters, tol=3e-5)
+        )
         set_tube_precision("default")
         fso = solver._fast_sls_opts()._replace(
             ipm_first=IPMOptions(max_iter=8, tol=1e-3)
