@@ -78,3 +78,21 @@ def test_sharded_mc_on_2_device_submesh(pendulum_solver):
     logs, stats = run_monte_carlo(solver, steps, x0s, Ws, mesh)
     assert int(stats.n_scenarios) == B
     assert np.all(np.isfinite(np.asarray(logs.state_trajectory)))
+
+
+def test_multihost_helpers_single_process(pendulum_solver):
+    """Single-process path of the multi-host helpers (pod runs need a slice)."""
+    from robust_nonlinear_mpc_tpu.parallel.distributed import (
+        global_scenario_mesh,
+        init_distributed,
+        multihost_throughput,
+    )
+
+    assert init_distributed() == 1
+    mesh = global_scenario_mesh()
+    assert mesh.devices.size == 8
+    m, solver = pendulum_solver
+    out = multihost_throughput(solver, sim_steps=2, scenarios_per_device=1, reps=1)
+    assert out["processes"] == 1
+    assert out["devices"] == 8
+    assert out["mpc_steps_per_s"] > 0
