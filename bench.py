@@ -51,7 +51,8 @@ def main():
         )
         set_tube_precision("default")
         fso = solver._fast_sls_opts()._replace(
-            ipm_first=IPMOptions(max_iter=8, tol=1e-3)
+            ipm_first=IPMOptions(max_iter=8, tol=1e-3),
+            use_pallas_response=True,
         )
         solver._fast_sls_opts = lambda: fso
 

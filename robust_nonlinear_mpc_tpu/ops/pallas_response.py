@@ -76,12 +76,20 @@ def _response_kernel(
             (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32,
         )
         Z = Zx + Zu                              # (N+1, ni, nw)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (N + 1, 1, 1), 0)
-        active = cols <= k
-        b_k = jnp.sum(Z * Z, axis=2, keepdims=True)       # (N+1, ni, 1)
-        b_k = jnp.where(active, jnp.maximum(b_k, eps), 0.0)[..., 0]
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (N + 1, ni), 0)
+        active2 = cols2 <= k
+        b_k = jnp.sum(Z * Z, axis=2)                      # (N+1, ni)
+        b_k = jnp.where(active2, jnp.maximum(b_k, eps), 0.0)
         beta_rows.append(b_k[:N])
-        backoff_rows.append(jnp.sum(jnp.sqrt(b_k), axis=0, keepdims=True))
+        # sum over the column axis via a ones-contraction (keeps the store
+        # 2-D and avoids a cross-sublane reduce->1-D-store relayout)
+        ones_row = jnp.ones((1, N + 1), f32)
+        backoff_rows.append(
+            jax.lax.dot_general(
+                ones_row, jnp.sqrt(b_k), (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        )
 
         # tube cost accumulation: ||Qr Phi_x[k, :]||_F^2 + ||Rr Phi_u[k, :]||_F^2
         qphi = jax.lax.dot_general(
@@ -122,7 +130,11 @@ def _response_kernel(
     )
     bf = jnp.maximum(jnp.sum(Zf * Zf, axis=2), eps)       # (N+1, ni_f)
     beta_f_ref[...] = bf
-    backoff_f_ref[...] = jnp.sum(jnp.sqrt(bf), axis=0, keepdims=True)
+    ones_row_f = jnp.ones((1, N + 1), f32)
+    backoff_f_ref[...] = jax.lax.dot_general(
+        ones_row_f, jnp.sqrt(bf), (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
 
     Qrf = Qrf_ref[...]
     qfphi = jax.lax.dot_general(

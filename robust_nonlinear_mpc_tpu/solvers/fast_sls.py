@@ -67,6 +67,10 @@ class FastSLSOptions(NamedTuple):
     # Off by default: measured on TPU f32, Mehrotra recovers poorly from the
     # near-boundary warm point (success 73% vs 100%, no speedup).
     warm_start_qp: bool = False
+    # use the Pallas fused response kernel (propagate + backoffs + tube cost
+    # in one VMEM-resident pass; ~1.7x the XLA path on v5e). f32-only and
+    # reduced-precision dots — throughput path only, off for f64 parity.
+    use_pallas_response: bool = False
     ipm: IPMOptions = IPMOptions()
     # optional looser IPM for the *untightened* first solve of an RTI
     # iteration: its primal is discarded (the final tightened solve decides
@@ -250,11 +254,25 @@ def fast_sls_solve(
         sol = carry.sol
         eta, eta_f = evaluate_dual_eta(sol.lam, sol.lam_f, carry.beta, carry.beta_f, eps)
         _, K = backward_solve(A, B, Gmat, prob.stat.Gf, eta, eta_f, prob.regs)
-        Phi_x, Phi_u = propagate(A, B, prob.E, K)
-        ct = tube_cost(Phi_x, Phi_u, prob.regs)
-        nbeta, nbeta_f, nboff, nboff_f = backoff_from_phi(
-            Phi_x, Phi_u, prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, eps
-        )
+        if opts.use_pallas_response:
+            from robust_nonlinear_mpc_tpu.ops.pallas_response import fused_response
+
+            Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct = fused_response(
+                A, B, prob.E, K,
+                prob.stat.Gx, prob.stat.Gu, prob.stat.Gf,
+                prob.regs.Q_reg, prob.regs.R_reg, prob.regs.Q_reg_f, eps=eps,
+            )
+            Phi_x = Phi_x.astype(dtype)
+            Phi_u = Phi_u.astype(dtype)
+            nbeta, nbeta_f = nbeta.astype(dtype), nbeta_f.astype(dtype)
+            nboff, nboff_f = nboff.astype(dtype), nboff_f.astype(dtype)
+            ct = ct.astype(dtype)
+        else:
+            Phi_x, Phi_u = propagate(A, B, prob.E, K)
+            ct = tube_cost(Phi_x, Phi_u, prob.regs)
+            nbeta, nbeta_f, nboff, nboff_f = backoff_from_phi(
+                Phi_x, Phi_u, prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, eps
+            )
         backoff_x = jnp.concatenate([nboff[:, :nx], nboff_f[None, :nx]], axis=0)
         backoff_u = nboff[:, nx : nx + nu]
         return carry._replace(
