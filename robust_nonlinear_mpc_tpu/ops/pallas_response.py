@@ -17,11 +17,14 @@ Falls back transparently to the pure-XLA implementations on CPU (interpret
 mode in tests).
 
 Status: numerically validated against the naive-math oracles in interpret
-mode (tests/test_pallas_response.py); on-device Mosaic compilation currently
-trips an internal relayout bug in the reduce-then-store pattern on this
-toolchain (jax 0.9/v5e remote-compile), so the default fast-SLS pipeline
-keeps the XLA path (which is within ~25% of the fused kernel's modeled HBM
-bound at these tiny shapes); revisit when the toolchain updates.
+mode (tests/test_pallas_response.py) and compiled/benchmarked on v5e:
+standalone it is 1.75x the XLA path (7.7 ms vs 13.5 ms at batch 256, rocket
+shapes). Embedded in the full fused MPC-iteration program it currently
+REGRESSES end-to-end throughput (XLA schedules around the custom call less
+effectively than its own fusions), so `FastSLSOptions.use_pallas_response`
+defaults to off; it remains the right building block for batch scales where
+the Phi tensors stop fitting comfortably in HBM (B >= ~10k), which is the
+SURVEY.md §7 "fuse propagate and backoff" scenario.
 """
 
 from __future__ import annotations
@@ -144,7 +147,7 @@ def _response_kernel(
     tube_ref[...] = jnp.sqrt(tube_acc + jnp.sum(qfphi * qfphi)).reshape(1, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "eps"))
 def fused_response(A, B, E, K, Gx, Gu, Gf, Q_reg, R_reg, Q_reg_f,
                    eps=1e-10, interpret=False):
     """Single-instance fused response synthesis (vmap for batches).

@@ -260,7 +260,8 @@ def fast_sls_solve(
             Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct = fused_response(
                 A, B, prob.E, K,
                 prob.stat.Gx, prob.stat.Gu, prob.stat.Gf,
-                prob.regs.Q_reg, prob.regs.R_reg, prob.regs.Q_reg_f, eps=eps,
+                prob.regs.Q_reg, prob.regs.R_reg, prob.regs.Q_reg_f,
+                eps=float(eps),
             )
             Phi_x = Phi_x.astype(dtype)
             Phi_u = Phi_u.astype(dtype)
