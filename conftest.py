@@ -21,4 +21,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# XLA compiles dominate the suite runtime on this CPU; persist them across
+# runs (repo-local, gitignored)
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()
