@@ -493,6 +493,16 @@ class SCPSLSSolver:
         }
         return out
 
+    def set_rti_steps(self, steps):
+        """Reference fast_SLS.set_rti_steps parity (fast_SLS_jit.py:243):
+        None or <= 0 disables the inner cap (until-convergence mode)."""
+        steps = 0 if steps is None or int(steps) <= 0 else int(steps)
+        self.opts = self.opts._replace(fast_sls_rti_steps=steps)
+
+    def set_fast_sls_rti_steps(self, steps):
+        """Reference SCP_SLS.set_fast_sls_rti_steps parity (SCP_SLS_jit.py:394)."""
+        self.set_rti_steps(steps)
+
     def reset_warm_start(self):
         """Shift x/u one step and wipe the SLS iteration state, but keep the
         convergence memory — reference parity: reset_solver_to_zeros clears
