@@ -1,0 +1,132 @@
+"""Monte-Carlo tube validation: batched disturbance-realization rollouts.
+
+This is the new-design experiment from BASELINE.json's config list
+("Monte-Carlo tube validation: 10k+ batched disturbance-realization rollouts
+per system across pod slice") — the reference, being single-solve CPU code,
+has no analogue. B closed-loop scenarios of the chosen system run as ONE
+jitted lax.scan, vmapped and (if multiple devices are visible) sharded over
+the scenario mesh; reported statistics:
+
+  * closed-loop constraint violations across all scenarios/steps (psum'd),
+  * one-step tube containment: the realized next state must lie within the
+    predicted nominal +- backoff_x[1] box of the solve at the previous step
+    (the tube's one-step-ahead guarantee under ||w||_inf <= 1),
+  * mean closed-loop cost.
+
+Usage:
+  python -m robust_nonlinear_mpc_tpu.expe.main_monte_carlo_validation --run \
+      [--system rocket] [--scenarios 256] [--steps 10] [--device tpu|cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from robust_nonlinear_mpc_tpu.utils.platform import setup
+
+FOLDER = "monte_carlo_validation"
+
+
+def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0):
+    if device == "cpu":
+        setup("cpu", x64=True, host_devices=8)
+    else:
+        setup(None, x64=False)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robust_nonlinear_mpc_tpu.expe._common import save_results
+    from robust_nonlinear_mpc_tpu.parallel.mc import run_monte_carlo
+    from robust_nonlinear_mpc_tpu.parallel.mesh import scenario_mesh
+    from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions
+    from robust_nonlinear_mpc_tpu.solvers.sqp import SQPOptions
+
+    if system == "rocket":
+        from robust_nonlinear_mpc_tpu.expe.main_rocket_robust_closed_loop import (
+            X0,
+            make_rocket_problem,
+        )
+
+        m, solver = make_rocket_problem(15)
+        x_center = np.array(X0)
+        x_spread = 0.05
+    elif system == "pendulum":
+        from robust_nonlinear_mpc_tpu.models import Pendulum
+        from robust_nonlinear_mpc_tpu.solvers.scp_sls import SCPSLSSolver
+
+        m = Pendulum()
+        m.E = 0.003 * np.eye(4)
+        solver = SCPSLSSolver(
+            15, np.eye(4), np.eye(1), m, 10 * np.eye(4),
+            Q_reg=1e3 * np.eye(4), R_reg=1e3 * np.eye(1), Q_reg_f=1e4 * np.eye(4),
+            rti=1, fast_sls_rti_steps=1,
+        )
+        x_center = np.array([0.5, 0.5, 0.0, 0.0])
+        x_spread = 0.1
+    else:
+        raise ValueError(system)
+
+    solver.opts = solver.opts._replace(verbose=False)
+    if solver.dtype == jnp.float32:
+        solver.opts = solver.opts._replace(ipm=IPMOptions(max_iter=15, tol=3e-5))
+        solver.opts = solver.opts._replace(
+            sqp=SQPOptions(ipm=IPMOptions(max_iter=15, tol=3e-5),
+                           tol_step=1e-4, tol_feas=1e-4, max_iter=25)
+        )
+
+    mesh = scenario_mesh()
+    n_dev = mesh.devices.size
+    B = (scenarios // n_dev) * n_dev
+    rng = np.random.default_rng(seed)
+    x0s = jnp.asarray(
+        x_center[None] + x_spread * rng.standard_normal((B, m.nx)), solver.dtype
+    )
+    # per-step disturbances w ~ U[-1, 1]^nw (the model applies E w)
+    Ws = jnp.asarray(2 * rng.random((B, steps, m.nw)) - 1, solver.dtype)
+
+    logs, stats = run_monte_carlo(solver, steps, x0s, Ws, mesh)
+    jax.block_until_ready(logs.state_trajectory)
+
+    # one-step tube containment: |x_{t+1} - nominal_x[t, 1]| <= backoff_x[t, 1]
+    xs = np.asarray(logs.state_trajectory)          # (B, T, nx)
+    nom = np.asarray(logs.nominal_x)                # (B, T, N+1, nx)
+    bo = np.asarray(logs.backoff_x)                 # (B, T, N+1, nx)
+    dev = np.abs(xs[:, 1:] - nom[:, :-1, 1])        # realized vs predicted
+    margin = bo[:, :-1, 1] - dev
+    contained = margin >= -1e-6
+    containment_rate = float(contained.mean())
+
+    results = {
+        "system": system,
+        "scenarios": B,
+        "steps": steps,
+        "devices": int(n_dev),
+        "n_violations": int(stats.n_violations),
+        "worst_constraint_margin": float(stats.worst_margin),
+        "mean_cost": float(stats.mean_cost),
+        "tube_containment_rate": containment_rate,
+        "worst_tube_margin": float(margin.min()),
+        "success_rate": float(np.asarray(logs.success).mean()),
+        "state_trajectories": xs[: min(B, 64)],  # sample for plotting
+    }
+    print(
+        f"[mc] {system}: {B} scenarios x {steps} steps on {n_dev} device(s) — "
+        f"violations={results['n_violations']}, "
+        f"tube containment={containment_rate:.4f}, "
+        f"success={results['success_rate']:.4f}"
+    )
+    return save_results(FOLDER, f"mc_validation_{system}", results)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", action="store_true")
+    p.add_argument("--system", default="rocket", choices=["rocket", "pendulum"])
+    p.add_argument("--scenarios", type=int, default=256)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+    if args.run:
+        generate(args.system, args.scenarios, args.steps, args.device, args.seed)

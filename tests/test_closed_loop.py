@@ -82,3 +82,16 @@ def test_batched_vmap_scenarios():
         np.asarray(logs.input_trajectory[1]), np.asarray(one.input_trajectory),
         atol=1e-8,
     )
+
+
+def test_monte_carlo_validation_experiment(tmp_path, monkeypatch):
+    """The MC tube-validation experiment: zero violations and full one-step
+    tube containment on the pendulum under ||w||_inf <= 1."""
+    import robust_nonlinear_mpc_tpu.expe.main_monte_carlo_validation as mc
+
+    monkeypatch.setattr(mc, "FOLDER", str(tmp_path))
+    path = mc.generate("pendulum", scenarios=16, steps=3, device="cpu")
+    d = np.load(path, allow_pickle=True)
+    assert int(d["n_violations"]) == 0
+    assert float(d["tube_containment_rate"]) == 1.0
+    assert float(d["success_rate"]) == 1.0
