@@ -51,6 +51,24 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0):
         m, solver = make_rocket_problem(15)
         x_center = np.array(X0)
         x_spread = 0.05
+    elif system == "quadrotor":
+        from robust_nonlinear_mpc_tpu.models import Quadrotor
+        from robust_nonlinear_mpc_tpu.solvers.scp_sls import SCPSLSSolver
+
+        m = Quadrotor()
+        Q = np.diag([10.0] * 3 + [1.0] * 3 + [1.0] * 4 + [2.0] * 3)
+        st = np.deg2rad(2.0); qv = 0.5 * st; qw = 0.1 * qv
+        m.E = m.dt * 5 * np.diag(
+            [0.10, 0.10, 0.10, 0.15, 0.15, 0.15, qw, qv, qv, qv, 0.2, 0.2, 0.2]
+        )
+        solver = SCPSLSSolver(
+            15, Q, np.eye(4), m, 10 * Q,
+            Q_reg=1e4 * np.eye(13), R_reg=1e4 * np.eye(4), Q_reg_f=1e4 * np.eye(13),
+            rti=1, fast_sls_rti_steps=1,
+        )
+        x_center = np.concatenate([np.full(3, 2.0), np.zeros(3),
+                                   [1.0, 0, 0, 0], np.zeros(3)])
+        x_spread = 0.2
     elif system == "pendulum":
         from robust_nonlinear_mpc_tpu.models import Pendulum
         from robust_nonlinear_mpc_tpu.solvers.scp_sls import SCPSLSSolver
@@ -122,7 +140,7 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--run", action="store_true")
-    p.add_argument("--system", default="rocket", choices=["rocket", "pendulum"])
+    p.add_argument("--system", default="rocket", choices=["rocket", "pendulum", "quadrotor"])
     p.add_argument("--scenarios", type=int, default=256)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
