@@ -1,4 +1,5 @@
 from robust_nonlinear_mpc_tpu.ops.packing import pack_primal, unpack_primal
+from robust_nonlinear_mpc_tpu.ops.qp_export import densify, export_quadprog
 from robust_nonlinear_mpc_tpu.ops.qp_ipm import (
     IPMOptions,
     QPData,
@@ -20,6 +21,8 @@ from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
 
 __all__ = [
     "pack_primal",
+    "densify",
+    "export_quadprog",
     "unpack_primal",
     "IPMOptions",
     "QPData",
