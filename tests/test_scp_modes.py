@@ -88,3 +88,20 @@ def test_reset_clears_warm_state():
     assert solver._X is None
     s2 = solver.solve(x0)  # re-runs nominal init
     np.testing.assert_allclose(s1["primal_u"], s2["primal_u"], atol=1e-7)
+
+
+def test_solve_profiled_stage_timings():
+    """solve_profiled: per-stage timings and consistency with the fused path
+    (rti = 1 / fast_sls_rti_steps = 1 only)."""
+    m, solver_a = _solver(rti=1, inner=1)
+    x0 = np.array([0.4, 0.3, 0.1, 0.0])
+    fused = solver_a.solve(x0)
+
+    m2, solver_b = _solver(rti=1, inner=1)
+    prof = solver_b.solve_profiled(x0)
+    assert prof["success"]
+    for k in ("t_jac_ms", "t_qp_ms", "t_backward_ms", "t_tighten_ms"):
+        assert prof[k] >= 0.0
+    # same math as the fused iteration
+    np.testing.assert_allclose(prof["primal_u"], fused["primal_u"], atol=1e-7)
+    np.testing.assert_allclose(prof["backoff"], fused["backoff"], atol=1e-8)
