@@ -26,6 +26,15 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: harmless if the backend bypasses it, saves
+    # minutes when it does not
+    try:
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from robust_nonlinear_mpc_tpu.expe.main_rocket_robust_closed_loop import (
