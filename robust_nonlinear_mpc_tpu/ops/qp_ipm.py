@@ -101,7 +101,6 @@ class IPMOptions(NamedTuple):
     max_iter: int = 30
     tol: float = 1e-9
     tau: float = 0.995      # fraction-to-boundary
-    reg: float = 1e-11      # Levenberg regularization on F_uu
     init_slack: float = 1.0
 
 
