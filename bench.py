@@ -67,6 +67,15 @@ def main():
         )
         solver._fast_sls_opts = lambda: fso
 
+    # streaming fused response (no Phi materialization; O(N nx nw) memory):
+    # measured +8% at B=256 on v5e (6,446 vs 5,946 solves/s) and required
+    # for very large MC batches; RNM_BENCH_STREAMING=0 restores the
+    # Phi-materializing path
+    streaming = bool(jax_env_int("RNM_BENCH_STREAMING", 1))
+    if streaming:
+        fso2 = solver._fast_sls_opts()._replace(streaming_response=True)
+        solver._fast_sls_opts = lambda: fso2
+
     N = solver.N
     B = int(jax_env_int("RNM_BENCH_BATCH", 256))
     n_rep = int(jax_env_int("RNM_BENCH_REPS", 10))
@@ -81,7 +90,9 @@ def main():
         dtype,
     )
     Us = jnp.asarray(0.01 * rng.standard_normal((B, N, m.nu)), dtype)
-    persist = FastSLSPersist.init(N, m.nx, m.nu, m.ni, m.ni_f, m.nw, dtype)
+    persist = FastSLSPersist.init(
+        N, m.nx, m.nu, m.ni, m.ni_f, m.nw, dtype, store_phi=not streaming
+    )
     persists = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), persist
     )

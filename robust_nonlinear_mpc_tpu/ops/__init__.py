@@ -13,6 +13,7 @@ from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
     backward_solve,
     evaluate_dual_eta,
     propagate,
+    response_streaming,
     riccati_step,
     tensor_to_matrix,
     matrix_to_tensor,
@@ -34,6 +35,7 @@ __all__ = [
     "backward_solve",
     "evaluate_dual_eta",
     "propagate",
+    "response_streaming",
     "riccati_step",
     "tensor_to_matrix",
     "matrix_to_tensor",

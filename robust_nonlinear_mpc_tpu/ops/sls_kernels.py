@@ -198,6 +198,76 @@ def backoff_from_phi(Phi_x, Phi_u, Gx, Gu, Gf, epsilon):
 
 
 # ----------------------------------------------------------------------
+# Streaming fused response: propagate + backoffs + tube cost, no Phi
+# ----------------------------------------------------------------------
+def response_streaming(A, B, E, K, Gx, Gu, Gf, regs: SLSRegs, epsilon):
+    """Fused `propagate` + `backoff_from_phi` + `tube_cost` that never
+    materializes the O(N^2) system-response tensors.
+
+    The forward scan over stages k carries only the current stage's response
+    rows Phi_x[k, :] (shape (N+1, nx, nw)); the constraint row-norms beta[k],
+    the backoff sums, and the tube-cost Frobenius accumulation are computed
+    in the same step and the rows are then overwritten by stage k+1. Peak
+    memory per instance drops from O(N^2 nx nw) (Phi_x + Phi_u stacks) to
+    O(N nx nw) — the enabler for very large Monte-Carlo batches (B >= 10k,
+    where the Phi stacks alone are ~6 GB; ROUND1.md gap 4).
+
+    Returns (beta, beta_f, backoff, backoff_f, cost_tube), bit-identical in
+    exact arithmetic to the materializing kernels (the per-element operations
+    and reduction orders match `backoff_from_phi`; the tube-cost reduction
+    order differs only in the k-grouping of the same additions).
+    """
+    N, nx = A.shape[0], A.shape[1]
+    cols = jnp.arange(N + 1)
+    tp = tube_prec()
+
+    def step(carry, inp):
+        row, cost_acc = carry
+        k, A_k, B_k, K_k, E_k = inp
+        # inject this step's diagonal: Phi_x[k, k] = E[k]
+        row = jnp.where((cols == k)[:, None, None], E_k[None], row)
+        # row[j] == 0 for j > k, so phi_u inherits the triangular mask
+        phi_u = jnp.einsum("jui,jiw->juw", K_k, row, precision=tp)
+
+        # beta[k, j] = rowwise ||Gx Phi_x[k,j] + Gu Phi_u[k,j]||^2, j <= k
+        Z = jnp.einsum("ri,jiw->jrw", Gx, row, precision=tp) + jnp.einsum(
+            "ru,juw->jrw", Gu, phi_u, precision=tp
+        )
+        beta_row = jnp.sum(Z * Z, axis=-1)[:N]           # (N, ni)
+        tri = (cols[:N] <= k)[:, None]
+        beta_row = jnp.where(tri, jnp.maximum(beta_row, epsilon), 0.0)
+        backoff_row = jnp.sum(jnp.sqrt(beta_row), axis=0)  # (ni,)
+
+        # tube-cost accumulation (inactive columns are exactly zero)
+        qx = jnp.einsum("ab,jbw->jaw", regs.Q_reg, row, precision=tp)
+        ru = jnp.einsum("ab,jbw->jaw", regs.R_reg, phi_u, precision=tp)
+        cost_acc = cost_acc + jnp.sum(qx * qx) + jnp.sum(ru * ru)
+
+        # advance: Phi_x[k+1, j] = (A_k + B_k K[k, j]) Phi_x[k, j]
+        Acl = A_k[None] + jnp.einsum("iu,juv->jiv", B_k, K_k, precision=tp)
+        nxt = jnp.einsum("jiv,jvw->jiw", Acl, row, precision=tp)
+        nxt = jnp.where((cols <= k)[:, None, None], nxt, 0.0)
+        return (nxt, cost_acc), (beta_row, backoff_row)
+
+    init = (
+        jnp.zeros((N + 1, nx, E.shape[2]), dtype=A.dtype),
+        jnp.zeros((), dtype=A.dtype),
+    )
+    (last, cost_acc), (beta, backoff) = lax.scan(
+        step, init, (jnp.arange(N), A, B, K, E[:N])
+    )
+
+    # terminal stage: Phi_x[N, :] = propagated rows + diagonal E[N]
+    last = jnp.where((cols == N)[:, None, None], E[N][None], last)
+    Zf = jnp.einsum("ri,jiw->jrw", Gf, last, precision=tp)
+    beta_f = jnp.maximum(jnp.sum(Zf * Zf, axis=-1), epsilon)   # (N+1, ni_f)
+    backoff_f = jnp.sum(jnp.sqrt(beta_f), axis=0)
+    qf = jnp.einsum("ab,jbw->jaw", regs.Q_reg_f, last, precision=tp)
+    cost_tube = jnp.sqrt(cost_acc + jnp.sum(qf * qf))
+    return beta, beta_f, backoff, backoff_f, cost_tube
+
+
+# ----------------------------------------------------------------------
 # Tube cost  (reference util/SLS.py:38-46 eval_cost)
 # ----------------------------------------------------------------------
 def tube_cost(Phi_x, Phi_u, regs: SLSRegs):

@@ -46,6 +46,7 @@ from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
     backward_solve,
     evaluate_dual_eta,
     propagate,
+    response_streaming,
     tube_cost,
 )
 
@@ -71,6 +72,14 @@ class FastSLSOptions(NamedTuple):
     # in one VMEM-resident pass; ~1.7x the XLA path on v5e). f32-only and
     # reduced-precision dots — throughput path only, off for f64 parity.
     use_pallas_response: bool = False
+    # pure-XLA fused response: compute backoffs + tube cost inside the
+    # propagation scan without materializing Phi_x/Phi_u (ops/sls_kernels.
+    # response_streaming). Peak memory O(N nx nw) per instance instead of
+    # O(N^2 nx nw) — required for very large MC batches. The solution's Phi
+    # fields are zeros in this mode (pair with FastSLSPersist.init(...,
+    # store_phi=False) to drop the buffers entirely). Ignored when
+    # use_pallas_response is set.
+    streaming_response: bool = False
     ipm: IPMOptions = IPMOptions()
     # optional looser IPM for the *untightened* first solve of an RTI
     # iteration: its primal is discarded (the final tightened solve decides
@@ -100,20 +109,24 @@ class FastSLSPersist(NamedTuple):
     cost_tube: jax.Array     # scalar
 
     @staticmethod
-    def init(N, nx, nu, ni, ni_f, nw, dtype, keep_prev=None):
+    def init(N, nx, nu, ni, ni_f, nw, dtype, keep_prev=None, store_phi=True):
+        """store_phi=False allocates zero-size Phi buffers — pair with
+        FastSLSOptions(streaming_response=True), which never fills them;
+        all downstream selects/copies on the Phi fields become free."""
         prev = (
             keep_prev
             if keep_prev is not None
             else jnp.zeros((nx + nu) * N + nx, dtype)
         )
+        n_phi = (N + 1) if store_phi else 0
         return FastSLSPersist(
             prev_primal=prev,
             have_prev=jnp.array(False) if keep_prev is None else jnp.array(True),
             eta=jnp.zeros((N, N, ni), dtype),
             eta_f=jnp.zeros((N + 1, ni_f), dtype),
             K=jnp.zeros((N, N + 1, nu, nx), dtype),
-            Phi_x=jnp.zeros((N + 1, N + 1, nx, nw), dtype),
-            Phi_u=jnp.zeros((N, N + 1, nu, nw), dtype),
+            Phi_x=jnp.zeros((N + 1, n_phi, nx, nw), dtype),
+            Phi_u=jnp.zeros((N, n_phi, nu, nw), dtype),
             cost_tube=jnp.asarray(jnp.nan, dtype),
         )
 
@@ -268,6 +281,15 @@ def fast_sls_solve(
             nbeta, nbeta_f = nbeta.astype(dtype), nbeta_f.astype(dtype)
             nboff, nboff_f = nboff.astype(dtype), nboff_f.astype(dtype)
             ct = ct.astype(dtype)
+        elif opts.streaming_response:
+            nbeta, nbeta_f, nboff, nboff_f, ct = response_streaming(
+                A, B, prob.E, K,
+                prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, prob.regs, eps,
+            )
+            # Phi is not materialized in this mode; keep the (possibly
+            # zero-size) buffers shaped like the persist contract
+            Phi_x = jnp.zeros_like(carry.Phi_x)
+            Phi_u = jnp.zeros_like(carry.Phi_u)
         else:
             Phi_x, Phi_u = propagate(A, B, prob.E, K)
             ct = tube_cost(Phi_x, Phi_u, prob.regs)

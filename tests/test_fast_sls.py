@@ -152,3 +152,40 @@ def test_fast_sls_vmap_batch():
         np.testing.assert_allclose(
             np.asarray(bsol.backoff[i]), np.asarray(s.backoff), atol=1e-8
         )
+
+
+def test_fast_sls_streaming_response_matches():
+    """streaming_response=True must produce the same solve (X/U/backoffs/
+    beta/tube cost) as the materializing path, with Phi left empty when the
+    persist is allocated with store_phi=False."""
+    x0 = np.array([3.0, 0.5])
+    prob, A, B, c, qx, qu, g_res, gf_res, N, nx, nu, nw = _double_integrator_problem()
+    dtype = jnp.zeros(0).dtype
+    ipm = IPMOptions(max_iter=50, tol=1e-10)
+
+    base = FastSLSOptions(rti_steps=2, ipm=ipm)
+    stream = FastSLSOptions(rti_steps=2, ipm=ipm, streaming_response=True)
+
+    p_full = FastSLSPersist.init(N, nx, nu, 6, 4, nw, dtype)
+    p_slim = FastSLSPersist.init(N, nx, nu, 6, 4, nw, dtype, store_phi=False)
+    assert p_slim.Phi_x.size == 0 and p_slim.Phi_u.size == 0
+
+    f = jax.jit(fast_sls_solve, static_argnums=(10,))
+    sol_a = f(prob, A, B, c, qx, qu, g_res, gf_res, jnp.asarray(x0), p_full, base)
+    sol_b = f(prob, A, B, c, qx, qu, g_res, gf_res, jnp.asarray(x0), p_slim, stream)
+
+    assert bool(sol_a.success) and bool(sol_b.success)
+    np.testing.assert_allclose(np.asarray(sol_b.X), np.asarray(sol_a.X), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol_b.U), np.asarray(sol_a.U), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol_b.K), np.asarray(sol_a.K), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol_b.beta), np.asarray(sol_a.beta), atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(sol_b.backoff), np.asarray(sol_a.backoff), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_b.backoff_f), np.asarray(sol_a.backoff_f), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        float(sol_b.cost_tube), float(sol_a.cost_tube), rtol=1e-12
+    )
+    assert sol_b.Phi_x.size == 0  # never materialized

@@ -118,6 +118,36 @@ def test_phi_closed_loop_identity():
         np.testing.assert_allclose(Phi_x[j, j], E[j], atol=0)
 
 
+@pytest.mark.parametrize("seed", [0, 2])
+def test_response_streaming_matches_materialized(seed):
+    """The fused streaming response must equal propagate + backoff_from_phi +
+    tube_cost without ever materializing Phi (ops/sls_kernels.response_streaming)."""
+    from robust_nonlinear_mpc_tpu.ops.sls_kernels import response_streaming
+
+    A, B, E, G, Gf, mu, mu_f, beta, beta_f, Qr, Rr, Qrf = _setup(seed)
+    eps = 1e-10
+    eta, eta_f = oracles.eta_np(mu, mu_f, beta, beta_f, eps)
+    _, K = oracles.backward_np(A, B, G, Gf, eta, eta_f, Qr, Rr, Qrf)
+
+    nx = A.shape[1]
+    Gx, Gu = jnp.asarray(G[:, :nx]), jnp.asarray(G[:, nx:])
+    regs = SLSRegs(jnp.asarray(Qr), jnp.asarray(Rr), jnp.asarray(Qrf))
+
+    Phi_x, Phi_u = propagate(jnp.asarray(A), jnp.asarray(B), jnp.asarray(E), jnp.asarray(K))
+    b_ref, bf_ref, bo_ref, bof_ref = backoff_from_phi(Phi_x, Phi_u, Gx, Gu, jnp.asarray(Gf), eps)
+    ct_ref = tube_cost(Phi_x, Phi_u, regs)
+
+    b, bf, bo, bof, ct = jax.jit(response_streaming)(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(E), jnp.asarray(K),
+        Gx, Gu, jnp.asarray(Gf), regs, eps,
+    )
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(bf_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bo), np.asarray(bo_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(bof), np.asarray(bof_ref), atol=1e-12)
+    np.testing.assert_allclose(float(ct), float(ct_ref), rtol=1e-12)
+
+
 def test_tensor_matrix_roundtrip():
     rng = np.random.default_rng(0)
     t = rng.standard_normal((4, 5, 3, 2))
