@@ -27,7 +27,8 @@ from robust_nonlinear_mpc_tpu.utils.platform import setup
 FOLDER = "monte_carlo_validation"
 
 
-def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0):
+def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
+             recycle=False):
     if device == "cpu":
         setup("cpu", x64=True, host_devices=8)
     else:
@@ -93,6 +94,12 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0):
                            tol_step=1e-4, tol_feas=1e-4, max_iter=25)
         )
 
+    if recycle:
+        # dual-recycling RTI throughput mode (FastSLSOptions.recycle_eta):
+        # one QP per step; validate that tube containment is preserved
+        fso = solver._fast_sls_opts()._replace(recycle_eta=True)
+        solver._fast_sls_opts = lambda: fso
+
     mesh = scenario_mesh()
     n_dev = mesh.devices.size
     B = (scenarios // n_dev) * n_dev
@@ -117,6 +124,7 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0):
 
     results = {
         "system": system,
+        "recycle": bool(recycle),
         "scenarios": B,
         "steps": steps,
         "devices": int(n_dev),
@@ -134,7 +142,8 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0):
         f"tube containment={containment_rate:.4f}, "
         f"success={results['success_rate']:.4f}"
     )
-    return save_results(FOLDER, f"mc_validation_{system}", results)
+    tag = f"mc_validation_{system}" + ("_recycle" if recycle else "")
+    return save_results(FOLDER, tag, results)
 
 
 if __name__ == "__main__":
@@ -145,6 +154,8 @@ if __name__ == "__main__":
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--recycle", action="store_true")
     args = p.parse_args()
     if args.run:
-        generate(args.system, args.scenarios, args.steps, args.device, args.seed)
+        generate(args.system, args.scenarios, args.steps, args.device, args.seed,
+                 recycle=args.recycle)

@@ -1,7 +1,9 @@
 from robust_nonlinear_mpc_tpu.ops.packing import pack_primal, unpack_primal
 from robust_nonlinear_mpc_tpu.ops.qp_export import densify, export_quadprog
 from robust_nonlinear_mpc_tpu.ops.qp_ipm import (
+    CondensedKKT,
     IPMOptions,
+    condense,
     QPData,
     QPSolution,
     QPStatics,
@@ -25,6 +27,8 @@ __all__ = [
     "densify",
     "export_quadprog",
     "unpack_primal",
+    "CondensedKKT",
+    "condense",
     "IPMOptions",
     "QPData",
     "QPSolution",

@@ -102,6 +102,25 @@ class IPMOptions(NamedTuple):
     tol: float = 1e-9
     tau: float = 0.995      # fraction-to-boundary
     init_slack: float = 1.0
+    # Newton-step linear solver:
+    #   "riccati"   — block-tridiagonal Riccati factorization, lax.scan over
+    #                 the horizon (O(N) sequential steps; max accuracy),
+    #   "condensed" — scan-free: states eliminated through the dynamics once
+    #                 per QP (transition/controllability tensors, W-independent
+    #                 reduced Hessian part), each IPM iteration then assembles
+    #                 H = Hq + M' W M, Jacobi-equilibrates, inverts by
+    #                 recursive block-Schur (utils.numerics.spd_inverse) with
+    #                 Newton-Schulz polish, and runs two exact-matvec
+    #                 refinement passes.
+    #
+    # MEASURED AND REJECTED as the default (v5e, rocket N=15, B=256, f32):
+    # a condensed iteration costs ~13.8 ms vs ~4.1 ms for riccati — the
+    # dense Hq/M'WM assembly and inverse polish far outweigh the saved scan
+    # latency — and cond(H) ~ 1/mu^2 makes the explicit inverse f32-unstable
+    # once mu < ~1e-4 (the Riccati recursion never forms these products and
+    # stays stable to convergence). Exact to ~1e-12 vs riccati in f64 at
+    # moderate conditioning (tests/test_qp_ipm.py); kept for research use.
+    kkt: str = "riccati"
 
 
 # ----------------------------------------------------------------------
@@ -223,6 +242,153 @@ def _solve_newton(stat: QPStatics, data: QPData, fact, rbx, rbxN, rbu, req):
     return dX, dU, dnu
 
 
+# ----------------------------------------------------------------------
+# Condensed KKT: eliminate states through the dynamics (scan-free Newton)
+# ----------------------------------------------------------------------
+class CondensedKKT(NamedTuple):
+    """Per-QP precompute for the "condensed" Newton solver (W-independent;
+    depends only on (A, B) and the constraint/cost statics, so it is shared
+    by every IPM iteration and by the untightened/tightened QP solves of one
+    fast-SLS iteration)."""
+
+    Ash: jax.Array   # (N+1, N, nx, nx)   Ash[k, j] = A_{k-1}...A_{j+1} (state
+    #                  transition from stage j+1 to k; zero for j+1 > k)
+    Bbar: jax.Array  # (N+1, N, nx, nu)   dX_k / dU_j = Ash[k, j] B_j
+    M2: jax.Array    # (N ni + ni_f, N nu) stacked ineq sensitivity to dU
+    Hq: jax.Array    # (N nu, N nu)        blkdiag(Hu) + Bbar' Hx_aug Bbar
+    Hx_aug: jax.Array  # (N+1, nx, nx)     [Hx_0..Hx_{N-1}, HxN]
+
+
+def condense(stat: QPStatics, A: jax.Array, B: jax.Array) -> CondensedKKT:
+    """Build the condensed-KKT tensors. `stat` must be in per-stage form."""
+    N, nx, _ = A.shape
+    nu = B.shape[2]
+    ni = stat.Gx.shape[1]
+    dtype = A.dtype
+    hp = lax.Precision.HIGHEST
+    cols = jnp.arange(N + 1)
+    eye = jnp.eye(nx, dtype=dtype)
+
+    # Abar rows by a forward scan: row_k[j] = Abar[k, j] = A_{k-1}...A_j
+    def step(row, inp):
+        k, A_k = inp
+        nxt = jnp.einsum("ab,jbc->jac", A_k, row, precision=hp)
+        nxt = jnp.where((cols == k + 1)[:, None, None], eye[None], nxt)
+        nxt = jnp.where((cols <= k + 1)[:, None, None], nxt, 0.0)
+        return nxt, nxt
+
+    row0 = jnp.where((cols == 0)[:, None, None], eye[None], 0.0)
+    _, rows = lax.scan(step, row0, (jnp.arange(N), A))
+    Abar = jnp.concatenate([row0[None], rows], axis=0)  # (N+1, N+1, nx, nx)
+    Ash = Abar[:, 1:]                                   # Ash[k, j] = Abar[k, j+1]
+    Bbar = jnp.einsum("kjab,jbu->kjau", Ash, B, precision=hp)
+
+    Mt = jnp.einsum("kri,kjiu->krju", stat.Gx, Bbar[:N], precision=hp)
+    Mt = Mt.at[jnp.arange(N), :, jnp.arange(N), :].add(stat.Gu)
+    Mf = jnp.einsum("ri,jiu->rju", stat.Gf, Bbar[N], precision=hp)
+    M2 = jnp.concatenate(
+        [Mt.reshape(N * ni, N * nu), Mf.reshape(-1, N * nu)], axis=0
+    )
+
+    Hx_aug = jnp.concatenate([stat.Hx, stat.HxN[None]], axis=0)
+    HB = jnp.einsum("kab,kjbu->kjau", Hx_aug, Bbar, precision=hp)
+    Hq = jnp.einsum("kjau,klav->julv", Bbar, HB, precision=hp).reshape(
+        N * nu, N * nu
+    )
+    for k in range(N):
+        Hq = Hq.at[k * nu : (k + 1) * nu, k * nu : (k + 1) * nu].add(stat.Hu[k])
+    return CondensedKKT(Ash=Ash, Bbar=Bbar, M2=M2, Hq=Hq, Hx_aug=Hx_aug)
+
+
+def _condensed_newton(stat: QPStatics, pre: CondensedKKT, W, W_f, req):
+    """Return a Newton-solve closure for the current IPM iteration weights."""
+    from robust_nonlinear_mpc_tpu.utils.numerics import spd_inverse
+
+    N, ni = W.shape
+    nx = req.shape[1]
+    nu = pre.Bbar.shape[3]
+    hp = lax.Precision.HIGHEST
+
+    wf = jnp.concatenate([W.reshape(-1), W_f])                 # (nc,)
+    WM = wf[:, None] * pre.M2
+    Hmat = sym(pre.Hq + jnp.matmul(pre.M2.T, WM, precision=hp))
+    # Jacobi scaling: the IPM weights spread over many orders of magnitude
+    # as mu -> 0 (cond(H) ~ 1/mu^2); the block-Schur recursion needs the
+    # equilibrated matrix to stay accurate. Solves then run in the scaled
+    # space with two iterative-refinement passes on the EXACT matvec.
+    dinv = lax.rsqrt(jnp.maximum(jnp.diagonal(Hmat), jnp.finfo(Hmat.dtype).tiny))
+    Hs = Hmat * dinv[:, None] * dinv[None, :]
+    eps_m = jnp.finfo(Hmat.dtype).eps
+    eye = jnp.eye(Hs.shape[0], dtype=Hs.dtype)
+    Hs_inv = spd_inverse(Hs + 10.0 * eps_m * eye)
+    # Newton-Schulz polish: the recursive block-Schur inverse loses
+    # ~cond^2 * eps accuracy; each NS step squares the inverse error
+    # (two matmuls, still scan-free), restoring ~cond * eps quality so the
+    # downstream iterative refinement contracts.
+    for _ in range(4):
+        Hs_inv = sym(
+            jnp.matmul(
+                Hs_inv, 2.0 * eye - jnp.matmul(Hs, Hs_inv, precision=hp),
+                precision=hp,
+            )
+        )
+
+    def happly_inv(rhs):
+        return dinv * jnp.matmul(Hs_inv, dinv * rhs, precision=hp)
+
+    # affine state response to the dynamics residuals (dx_0 = 0 always)
+    rbar = jnp.einsum("kjab,jb->ka", pre.Ash, req, precision=hp)  # (N+1, nx)
+    mbar = jnp.concatenate(
+        [
+            jnp.einsum("kri,ki->kr", stat.Gx, rbar[:N], precision=hp).reshape(-1),
+            stat.Gf @ rbar[N],
+        ]
+    )
+    W_mbar = wf * mbar
+
+    def hmul(x):
+        return jnp.matmul(pre.Hq, x, precision=hp) + jnp.matmul(
+            pre.M2.T, wf * jnp.matmul(pre.M2, x, precision=hp), precision=hp
+        )
+
+    def nsolve(rbx, rbxN, rbu):
+        rbx_aug = jnp.concatenate([rbx, rbxN[None]], axis=0)   # (N+1, nx)
+        v = (
+            jnp.einsum("kab,kb->ka", pre.Hx_aug, rbar, precision=hp) + rbx_aug
+        )
+        g = (
+            jnp.einsum("kjau,ka->ju", pre.Bbar, v, precision=hp).reshape(-1)
+            + jnp.matmul(pre.M2.T, W_mbar, precision=hp)
+            + rbu.reshape(-1)
+        )
+        dU = -happly_inv(g)
+        # two refinement steps with the exact matvec
+        dU = dU + happly_inv(-g - hmul(dU))
+        dU = dU + happly_inv(-g - hmul(dU))
+        dUr = dU.reshape(N, nu)
+        dX = jnp.einsum("kjau,ju->ka", pre.Bbar, dUr, precision=hp) + rbar
+        return dX, dUr
+
+    def dnu_from(dX, dU, dlam, dlam_f, rx, rxN):
+        """Dynamics duals via the adjoint transition map from the ORIGINAL
+        stationarity rows: dnu_k = -sum_{l > k} Abar[l, k+1]' s_l with
+        s_l = Hx_l dx_l + Gx_l' dlam_l + rx_l. Using the recovered dlam
+        (not W (G dz), which amplifies dX roundoff by W ~ 1/mu) keeps the
+        recovery stable all the way to convergence."""
+        s_stage = (
+            jnp.einsum("kab,kb->ka", stat.Hx[1:N], dX[1:N], precision=hp)
+            + jnp.einsum("kri,kr->ki", stat.Gx[1:N], dlam[1:N], precision=hp)
+            + rx
+        )
+        s_term = stat.HxN @ dX[N] + stat.Gf.T @ dlam_f + rxN
+        s_aug = jnp.concatenate(
+            [jnp.zeros((1, nx), dtype=dX.dtype), s_stage, s_term[None]], axis=0
+        )
+        return -jnp.einsum("lkab,la->kb", pre.Ash, s_aug, precision=hp)
+
+    return nsolve, dnu_from
+
+
 def _step_to_boundary(v, dv, tau):
     """max alpha in (0, 1] with v + alpha dv >= (1 - tau) v elementwise."""
     ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
@@ -237,6 +403,7 @@ def solve_qp(
     data: QPData,
     opts: IPMOptions = IPMOptions(),
     init: QPSolution | None = None,
+    pre: CondensedKKT | None = None,
 ) -> QPSolution:
     """Solve one horizon-structured QP. Pure function: jit/vmap/shard-friendly.
 
@@ -255,6 +422,8 @@ def solve_qp(
     ni_f = stat.Gf.shape[0]
     dtype = data.A.dtype
     n_comp = N * ni + ni_f
+    if opts.kkt == "condensed" and pre is None:
+        pre = condense(stat, data.A, data.B)
 
     # --- initialization ---
     if init is None:
@@ -309,7 +478,14 @@ def solve_qp(
 
         W = lam / s
         W_f = lam_f / s_f
-        fact = _factorize(stat, data, W, W_f)
+        if opts.kkt == "condensed":
+            csolve, dnu_from = _condensed_newton(stat, pre, W, W_f, req)
+            nsolve = lambda rbx_, rbxN_, rbu_: csolve(rbx_, rbxN_, rbu_) + (None,)
+        else:
+            fact = _factorize(stat, data, W, W_f)
+            nsolve = lambda rbx_, rbxN_, rbu_: _solve_newton(
+                stat, data, fact, rbx_, rbxN_, rbu_, req
+            )
 
         def reduced_rhs(rcomp, rcomp_f):
             # rbar = r_stat + G'((lam*rineq - rcomp)/s); the Newton step solves
@@ -339,7 +515,7 @@ def solve_qp(
         rcomp_a = lam * s
         rcomp_af = lam_f * s_f
         rbx, rbxN, rbu = reduced_rhs(rcomp_a, rcomp_af)
-        dXa, dUa, _ = _solve_newton(stat, data, fact, rbx, rbxN, rbu, req)
+        dXa, dUa, _ = nsolve(rbx, rbxN, rbu)
         dsa, dlama, dsfa, dlamfa = recover(dXa, dUa, rcomp_a, rcomp_af)
 
         alpha_p_a = jnp.minimum(
@@ -358,8 +534,10 @@ def solve_qp(
         rcomp_c = lam * s + dsa * dlama - sigma * mu
         rcomp_cf = lam_f * s_f + dsfa * dlamfa - sigma * mu
         rbx, rbxN, rbu = reduced_rhs(rcomp_c, rcomp_cf)
-        dX, dU, dnu = _solve_newton(stat, data, fact, rbx, rbxN, rbu, req)
+        dX, dU, dnu = nsolve(rbx, rbxN, rbu)
         ds, dlam, ds_f, dlam_f = recover(dX, dU, rcomp_c, rcomp_cf)
+        if opts.kkt == "condensed":
+            dnu = dnu_from(dX, dU, dlam, dlam_f, rx, rxN)
 
         alpha_p = jnp.minimum(
             _step_to_boundary(s, ds, opts.tau), _step_to_boundary(s_f, ds_f, opts.tau)

@@ -154,7 +154,14 @@ def build_batched_closed_loop(solver: SCPSLSSolver, sim_steps: int, noise_scale=
         persist_next = FastSLSPersist.init(
             N, m.nx, m.nu, m.ni, m.ni_f, m.nw, solver.dtype,
             keep_prev=persist.prev_primal,
+            store_phi=persist.Phi_x.shape[1] > 0,
         )._replace(have_prev=persist.have_prev)
+        if solver._fast_sls_opts().recycle_eta:
+            # dual-recycling mode: eta must survive the warm shift (it IS
+            # the recycled state; see FastSLSOptions.recycle_eta)
+            persist_next = persist_next._replace(
+                eta=persist.eta, eta_f=persist.eta_f
+            )
         out = (
             x,
             u0,

@@ -38,6 +38,7 @@ from robust_nonlinear_mpc_tpu.ops.qp_ipm import (
     IPMOptions,
     QPData,
     QPStatics,
+    condense,
     solve_qp,
 )
 from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
@@ -80,6 +81,17 @@ class FastSLSOptions(NamedTuple):
     # store_phi=False) to drop the buffers entirely). Ignored when
     # use_pallas_response is set.
     streaming_response: bool = False
+    # dual-recycling RTI (TPU throughput redesign, no reference analogue):
+    # one QP per solve instead of two. The backward Riccati uses the eta
+    # weights persisted from the PREVIOUS solve's final QP duals (zeros on
+    # the first solve -> regularizer-only tube gains); backoffs are still
+    # computed from the CURRENT linearization and gains, so robust
+    # constraint tightening remains exact every step — only the K
+    # optimization lags one step, in RTI spirit. Requires threading
+    # `persist` across solves WITHOUT re-initialization (the bench/MC path
+    # does; the reference-faithful closed-loop driver re-zeros persist at
+    # warm shift and degenerates this mode to reg-only tube gains).
+    recycle_eta: bool = False
     ipm: IPMOptions = IPMOptions()
     # optional looser IPM for the *untightened* first solve of an RTI
     # iteration: its primal is discarded (the final tightened solve decides
@@ -202,6 +214,13 @@ def fast_sls_solve(
     applied_backoff = jnp.zeros((N, ni), dtype=dtype)
     applied_backoff_f = jnp.zeros((ni_f,), dtype=dtype)
 
+    # condensed-KKT precompute is W-independent and (A, B) are fixed across
+    # every QP of this solve — build once, share across all forward solves
+    use_cond = opts.ipm.kkt == "condensed" or (
+        opts.ipm_first is not None and opts.ipm_first.kkt == "condensed"
+    )
+    pre = condense(prob.stat.per_stage(N), A, B) if use_cond else None
+
     def forward(applied, applied_f, init=None, first=False):
         data = QPData(
             A=A, B=B, c=c, qx=qx, qu=qu,
@@ -209,7 +228,75 @@ def fast_sls_solve(
             xinit=xinit_dev,
         )
         ipm = opts.ipm_first if (first and opts.ipm_first is not None) else opts.ipm
-        return solve_qp(prob.stat, data, ipm, init=init)
+        return solve_qp(prob.stat, data, ipm, init=init, pre=pre)
+
+    def compute_response(K, phi_like_x, phi_like_u):
+        """propagate + backoffs + tube cost via the configured kernel.
+        phi_like_*: arrays whose shapes define the (possibly zero-size)
+        Phi output buffers for the non-materializing modes."""
+        if opts.use_pallas_response:
+            from robust_nonlinear_mpc_tpu.ops.pallas_response import fused_response
+
+            Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct = fused_response(
+                A, B, prob.E, K,
+                prob.stat.Gx, prob.stat.Gu, prob.stat.Gf,
+                prob.regs.Q_reg, prob.regs.R_reg, prob.regs.Q_reg_f,
+                eps=float(eps),
+            )
+            Phi_x = Phi_x.astype(dtype)
+            Phi_u = Phi_u.astype(dtype)
+            nbeta, nbeta_f = nbeta.astype(dtype), nbeta_f.astype(dtype)
+            nboff, nboff_f = nboff.astype(dtype), nboff_f.astype(dtype)
+            ct = ct.astype(dtype)
+        elif opts.streaming_response:
+            nbeta, nbeta_f, nboff, nboff_f, ct = response_streaming(
+                A, B, prob.E, K,
+                prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, prob.regs, eps,
+            )
+            Phi_x = jnp.zeros_like(phi_like_x)
+            Phi_u = jnp.zeros_like(phi_like_u)
+        else:
+            Phi_x, Phi_u = propagate(A, B, prob.E, K)
+            ct = tube_cost(Phi_x, Phi_u, prob.regs)
+            nbeta, nbeta_f, nboff, nboff_f = backoff_from_phi(
+                Phi_x, Phi_u, prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, eps
+            )
+        return Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct
+
+    if opts.recycle_eta:
+        # --- dual-recycling RTI: K from persisted eta, one tightened QP ---
+        K_r = backward_solve(
+            A, B, Gmat, prob.stat.Gf, persist.eta, persist.eta_f, prob.regs
+        )[1]
+        Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct = compute_response(
+            K_r, persist.Phi_x, persist.Phi_u
+        )
+        sol = forward(nboff, nboff_f)
+        y = pack_primal(sol.X, sol.U)
+        conv = persist.have_prev & (
+            jnp.max(jnp.abs(y - persist.prev_primal)) <= opts.conv_tol
+        )
+        # refresh eta for the NEXT solve from this QP's duals and the
+        # freshly computed beta (eta = mu / (2 sqrt(beta)))
+        eta_n, eta_f_n = evaluate_dual_eta(sol.lam, sol.lam_f, nbeta, nbeta_f, eps)
+        new_persist = FastSLSPersist(
+            prev_primal=y, have_prev=jnp.array(True),
+            eta=eta_n, eta_f=eta_f_n, K=K_r,
+            Phi_x=Phi_x, Phi_u=Phi_u, cost_tube=ct,
+        )
+        return FastSLSSolution(
+            X=sol.X, U=sol.U, y=y, lam=sol.lam, lam_f=sol.lam_f,
+            eta=eta_n, eta_f=eta_f_n, K=K_r, Phi_x=Phi_x, Phi_u=Phi_u,
+            beta=nbeta, beta_f=nbeta_f, backoff=nboff, backoff_f=nboff_f,
+            backoff_x=jnp.concatenate(
+                [nboff[:, :nx], nboff_f[None, :nx]], axis=0
+            ),
+            backoff_u=nboff[:, nx : nx + nu],
+            cost_nominal=sol.cost, cost_tube=ct,
+            iteration_number=jnp.array(1, jnp.int32),
+            success=sol.success, persist=new_persist,
+            qp_iters=sol.iters, qp_kkt=sol.kkt_res,
+        )
 
     zero_sol = forward(applied_backoff, applied_backoff_f, first=True)
     # note: zero_sol is the first real forward solve (untightened bounds)
@@ -267,35 +354,9 @@ def fast_sls_solve(
         sol = carry.sol
         eta, eta_f = evaluate_dual_eta(sol.lam, sol.lam_f, carry.beta, carry.beta_f, eps)
         _, K = backward_solve(A, B, Gmat, prob.stat.Gf, eta, eta_f, prob.regs)
-        if opts.use_pallas_response:
-            from robust_nonlinear_mpc_tpu.ops.pallas_response import fused_response
-
-            Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct = fused_response(
-                A, B, prob.E, K,
-                prob.stat.Gx, prob.stat.Gu, prob.stat.Gf,
-                prob.regs.Q_reg, prob.regs.R_reg, prob.regs.Q_reg_f,
-                eps=float(eps),
-            )
-            Phi_x = Phi_x.astype(dtype)
-            Phi_u = Phi_u.astype(dtype)
-            nbeta, nbeta_f = nbeta.astype(dtype), nbeta_f.astype(dtype)
-            nboff, nboff_f = nboff.astype(dtype), nboff_f.astype(dtype)
-            ct = ct.astype(dtype)
-        elif opts.streaming_response:
-            nbeta, nbeta_f, nboff, nboff_f, ct = response_streaming(
-                A, B, prob.E, K,
-                prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, prob.regs, eps,
-            )
-            # Phi is not materialized in this mode; keep the (possibly
-            # zero-size) buffers shaped like the persist contract
-            Phi_x = jnp.zeros_like(carry.Phi_x)
-            Phi_u = jnp.zeros_like(carry.Phi_u)
-        else:
-            Phi_x, Phi_u = propagate(A, B, prob.E, K)
-            ct = tube_cost(Phi_x, Phi_u, prob.regs)
-            nbeta, nbeta_f, nboff, nboff_f = backoff_from_phi(
-                Phi_x, Phi_u, prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, eps
-            )
+        Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct = compute_response(
+            K, carry.Phi_x, carry.Phi_u
+        )
         backoff_x = jnp.concatenate([nboff[:, :nx], nboff_f[None, :nx]], axis=0)
         backoff_u = nboff[:, nx : nx + nu]
         return carry._replace(

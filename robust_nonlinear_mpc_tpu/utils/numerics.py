@@ -112,6 +112,45 @@ def spd_solve_small(H: jax.Array, F: jax.Array) -> jax.Array:
     return jsl.cho_solve((L, True), F)
 
 
+def spd_inverse(H: jax.Array) -> jax.Array:
+    """Explicit inverse of a symmetric positive-definite matrix by recursive
+    2x2 block Schur complementation (full matmul precision).
+
+    TPU-motivated: cholesky/LU/triangular-solve lower to sequential
+    column loops on TPU (n sequential steps of tiny work), while this
+    recursion is O(log n) levels of batched matmuls that ride the MXU.
+    Intended for the condensed-KKT interior point where H = Hq + M' W M is
+    re-inverted every iteration; callers should pair each application with
+    one iterative-refinement step using an exact residual matvec (the IPM
+    terminates on TRUE residuals, so an inexact Newton step costs
+    iterations, never correctness).
+    """
+    n = H.shape[-1]
+    if n == 1:
+        return 1.0 / H
+    if n == 2:
+        return _inv2(H)
+    n1 = n // 2
+    H11 = H[..., :n1, :n1]
+    H12 = H[..., :n1, n1:]
+    H21 = H[..., n1:, :n1]
+    H22 = H[..., n1:, n1:]
+    i11 = spd_inverse(H11)
+    i11_H12 = jnp.matmul(i11, H12, precision=_PREC)
+    S = H22 - jnp.matmul(H21, i11_H12, precision=_PREC)
+    iS = spd_inverse(0.5 * (S + jnp.swapaxes(S, -1, -2)))
+    BL = -jnp.matmul(iS, jnp.matmul(H21, i11, precision=_PREC), precision=_PREC)
+    TL = i11 - jnp.matmul(i11_H12, BL, precision=_PREC)
+    TR = jnp.swapaxes(BL, -1, -2)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([TL, TR], axis=-1),
+            jnp.concatenate([BL, iS], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def spd_solve_refined(H: jax.Array, F: jax.Array) -> jax.Array:
     """spd_solve_small + one iterative-refinement step.
 

@@ -189,3 +189,88 @@ def test_fast_sls_streaming_response_matches():
         float(sol_b.cost_tube), float(sol_a.cost_tube), rtol=1e-12
     )
     assert sol_b.Phi_x.size == 0  # never materialized
+
+
+def test_fast_sls_recycle_eta_mode():
+    """Dual-recycling RTI (one QP per solve): containment-relevant outputs
+    (backoffs from the CURRENT linearization/gains) stay exact; eta persists
+    across solves and converges toward the two-QP path's tube weights."""
+    x0 = np.array([3.0, 0.5])
+    prob, A, B, c, qx, qu, g_res, gf_res, N, nx, nu, nw = _double_integrator_problem()
+    dtype = jnp.zeros(0).dtype
+    ipm = IPMOptions(max_iter=50, tol=1e-10)
+    opts_std = FastSLSOptions(rti_steps=1, ipm=ipm)
+    opts_rec = FastSLSOptions(rti_steps=1, ipm=ipm, recycle_eta=True)
+    f = jax.jit(fast_sls_solve, static_argnums=(10,))
+
+    pers = FastSLSPersist.init(N, nx, nu, 6, 4, nw, dtype)
+    sols = []
+    for _ in range(6):  # thread persist across solves (LTI -> same A, B)
+        sol = f(prob, A, B, c, qx, qu, g_res, gf_res, jnp.asarray(x0), pers, opts_rec)
+        assert bool(sol.success)
+        pers = sol.persist
+        sols.append(sol)
+
+    # first solve: eta was zero -> regularizer-only gains; later solves use
+    # recycled duals -> eta nonzero
+    assert float(jnp.max(jnp.abs(sols[1].eta))) > 0
+
+    # single QP per solve (the standard RTI(1) path runs 2: untightened +
+    # final tightened)
+    p2 = FastSLSPersist.init(N, nx, nu, 6, 4, nw, dtype)
+    sol_std = f(prob, A, B, c, qx, qu, g_res, gf_res, jnp.asarray(x0), p2, opts_std)
+    assert int(sols[-1].qp_iters) < int(sol_std.qp_iters)
+
+    # robustness is not lagged: Phi/backoffs correspond to the current K —
+    # Monte-Carlo containment check identical to the two-QP path
+    sol = sols[-1]
+    Phi_x, Phi_u = np.asarray(sol.Phi_x), np.asarray(sol.Phi_u)
+    bo, bof = np.asarray(sol.backoff), np.asarray(sol.backoff_f)
+    Gx, Gu, Gf = map(np.asarray, (prob.stat.Gx, prob.stat.Gu, prob.stat.Gf))
+    rng = np.random.default_rng(1)
+    for _ in range(100):
+        w = rng.standard_normal((N + 1, nw))
+        w /= np.maximum(np.linalg.norm(w, axis=1, keepdims=True), 1.0)
+        dx = np.einsum("kjiw,jw->ki", Phi_x, w)
+        du = np.einsum("kjuw,jw->ku", Phi_u, w)
+        assert np.max(dx[:N] @ Gx.T + du @ Gu.T - bo) < 1e-9
+        assert np.max(Gf @ dx[N] - bof) < 1e-9
+
+    # the primal satisfies its tightened constraints
+    X, U = np.asarray(sol.X), np.asarray(sol.U)
+    assert np.max(X[:-1] @ Gx.T + U @ Gu.T - (np.asarray(g_res) - bo)) < 1e-7
+
+    # threading recycled duals across solves of the SAME problem is a
+    # fixed-point iteration of the eta <-> (K, beta) map with one QP each:
+    # it must stabilize (self-consistent tube), and land in the same
+    # ballpark as the two-QP path. (Exact agreement is not expected: the
+    # reference's convergence criterion is primal-only and exits before eta
+    # reaches its own fixed point, SURVEY.md §2.2.)
+    bo3, bo4 = np.asarray(sols[-2].backoff), np.asarray(sols[-1].backoff)
+    assert np.max(np.abs(bo4 - bo3)) / np.max(bo4) < 2e-2
+    bo_std = np.asarray(sol_std.backoff)
+    mask = bo_std > 0.1 * np.max(bo_std)
+    ratio = bo4[mask] / bo_std[mask]
+    assert np.all(ratio > 0.5) and np.all(ratio < 2.0)
+
+
+def test_fast_sls_condensed_kkt_matches():
+    """fast-SLS with the condensed (scan-free) IPM Newton solver, sharing
+    one per-solve condense() across its forward QPs, matches the Riccati
+    path bit-for-tolerance."""
+    x0 = np.array([3.0, 0.5])
+    prob, A, B, c, qx, qu, g_res, gf_res, N, nx, nu, nw = _double_integrator_problem()
+    dtype = jnp.zeros(0).dtype
+    f = jax.jit(fast_sls_solve, static_argnums=(10,))
+    base = FastSLSOptions(rti_steps=2, ipm=IPMOptions(max_iter=50, tol=1e-10))
+    cond = base._replace(ipm=base.ipm._replace(kkt="condensed"))
+    p1 = FastSLSPersist.init(N, nx, nu, 6, 4, nw, dtype)
+    p2 = FastSLSPersist.init(N, nx, nu, 6, 4, nw, dtype)
+    s1 = f(prob, A, B, c, qx, qu, g_res, gf_res, jnp.asarray(x0), p1, base)
+    s2 = f(prob, A, B, c, qx, qu, g_res, gf_res, jnp.asarray(x0), p2, cond)
+    assert bool(s1.success) and bool(s2.success)
+    np.testing.assert_allclose(np.asarray(s2.X), np.asarray(s1.X), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2.U), np.asarray(s1.U), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(s2.backoff), np.asarray(s1.backoff), atol=1e-9
+    )

@@ -89,3 +89,66 @@ def test_qp_vmap_batches():
         s = solve_qp(stat, d, OPTS)
         np.testing.assert_allclose(np.asarray(bsol.X[i]), np.asarray(s.X), atol=1e-6)
         np.testing.assert_allclose(np.asarray(bsol.U[i]), np.asarray(s.U), atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 7])
+def test_qp_condensed_matches_riccati(seed):
+    """kkt="condensed" (scan-free Newton: state elimination + recursive
+    block-Schur inverse) must reproduce the Riccati path: same solutions,
+    duals, and — because the Newton steps are mathematically identical —
+    the same iteration count."""
+    opts_c = OPTS._replace(kkt="condensed")
+    stat, data = random_qp(seed=seed)
+    if seed == 7:  # force active constraints
+        data = data._replace(
+            h=jnp.maximum(data.h, 0.05), hf=jnp.maximum(data.hf, 0.05)
+        )
+    s1 = solve_qp(stat, data, OPTS)
+    s2 = jax.jit(solve_qp, static_argnums=2)(stat, data, opts_c)
+    assert bool(s1.success) and bool(s2.success)
+    assert int(s1.iters) == int(s2.iters)
+    np.testing.assert_allclose(np.asarray(s2.X), np.asarray(s1.X), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2.U), np.asarray(s1.U), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2.lam), np.asarray(s1.lam), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(s2.nu_dyn), np.asarray(s1.nu_dyn), atol=1e-8
+    )
+
+
+def test_qp_condensed_vmap_and_shared_pre():
+    """Condensed path under vmap, with the per-QP precompute passed in
+    explicitly (shared across solves, as fast-SLS does)."""
+    from robust_nonlinear_mpc_tpu.ops.qp_ipm import condense
+
+    opts_c = OPTS._replace(kkt="condensed")
+    stats, datas = zip(*[random_qp(seed=s) for s in range(3)])
+    stat = stats[0]
+    batch = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas)
+    N = datas[0].A.shape[0]
+
+    def solve_with_pre(d):
+        pre = condense(stat.per_stage(N), d.A, d.B)
+        return solve_qp(stat, d, opts_c, pre=pre)
+
+    bsol = jax.jit(jax.vmap(solve_with_pre))(batch)
+    for i, d in enumerate(datas):
+        s = solve_qp(stat, d, OPTS)
+        np.testing.assert_allclose(np.asarray(bsol.X[i]), np.asarray(s.X), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bsol.U[i]), np.asarray(s.U), atol=1e-6)
+
+
+def test_spd_inverse():
+    from robust_nonlinear_mpc_tpu.utils.numerics import spd_inverse
+
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 3, 5, 17, 60):
+        M = rng.standard_normal((n, n + 3))
+        H = jnp.asarray(M @ M.T + 0.1 * np.eye(n))
+        Hi = np.asarray(spd_inverse(H))
+        np.testing.assert_allclose(Hi @ np.asarray(H), np.eye(n), atol=1e-8)
+    # batched
+    Ms = rng.standard_normal((4, 8, 11))
+    Hs = jnp.asarray(np.einsum("bij,bkj->bik", Ms, Ms) + 0.1 * np.eye(8))
+    His = np.asarray(jax.vmap(spd_inverse)(Hs))
+    for b in range(4):
+        np.testing.assert_allclose(His[b] @ np.asarray(Hs[b]), np.eye(8), atol=1e-8)

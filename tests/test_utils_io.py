@@ -84,3 +84,20 @@ def test_precompile_tool():
 
     compiled = precompile("pendulum", N=4)
     assert compiled is not None
+
+
+def test_stage_profile_tool(monkeypatch, capsys):
+    """The batched stage profiler composes its five pipeline stages correctly
+    (tiny batch; stage outputs feed forward and the JSON line is well-formed)."""
+    import json
+
+    from robust_nonlinear_mpc_tpu.tools import stage_profile
+
+    monkeypatch.setenv("RNM_BENCH_BATCH", "2")
+    monkeypatch.setenv("RNM_BENCH_REPS", "1")
+    stage_profile.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "rocket_mpc_stage_profile"
+    assert set(rec["stage_ms"]) == {"jac", "qp1", "bwd", "resp", "qp2"}
+    assert rec["qp2_success"] == 1.0
