@@ -28,7 +28,7 @@ FOLDER = "monte_carlo_validation"
 
 
 def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
-             recycle=False):
+             recycle=False, streaming=False):
     if device == "cpu":
         setup("cpu", x64=True, host_devices=8)
     else:
@@ -94,10 +94,13 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
                            tol_step=1e-4, tol_feas=1e-4, max_iter=25)
         )
 
-    if recycle:
-        # dual-recycling RTI throughput mode (FastSLSOptions.recycle_eta):
-        # one QP per step; validate that tube containment is preserved
-        fso = solver._fast_sls_opts()._replace(recycle_eta=True)
+    if recycle or streaming:
+        # throughput modes: dual-recycling RTI (one QP per step) and/or the
+        # streaming fused response (no Phi materialization — required for
+        # very large scenario counts)
+        fso = solver._fast_sls_opts()._replace(
+            recycle_eta=recycle, streaming_response=streaming
+        )
         solver._fast_sls_opts = lambda: fso
 
     mesh = scenario_mesh()
@@ -125,6 +128,7 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
     results = {
         "system": system,
         "recycle": bool(recycle),
+        "streaming": bool(streaming),
         "scenarios": B,
         "steps": steps,
         "devices": int(n_dev),
@@ -155,7 +159,8 @@ if __name__ == "__main__":
     p.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--recycle", action="store_true")
+    p.add_argument("--streaming", action="store_true")
     args = p.parse_args()
     if args.run:
         generate(args.system, args.scenarios, args.steps, args.device, args.seed,
-                 recycle=args.recycle)
+                 recycle=args.recycle, streaming=args.streaming)

@@ -180,7 +180,9 @@ def build_batched_closed_loop(solver: SCPSLSSolver, sim_steps: int, noise_scale=
             m, N, solver.Q, solver.R, solver.Qf, x0, opts=solver.opts.sqp
         )
         persist0 = FastSLSPersist.init(
-            N, m.nx, m.nu, m.ni, m.ni_f, m.nw, solver.dtype
+            N, m.nx, m.nu, m.ni, m.ni_f, m.nw, solver.dtype,
+            # streaming mode never fills Phi — drop the buffers entirely
+            store_phi=not solver._fast_sls_opts().streaming_response,
         )
         carry0 = (nominal.X, nominal.U, persist0, x0)
         _, outs = jax.lax.scan(mpc_step, carry0, W[:sim_steps])
