@@ -69,10 +69,9 @@ def main():
         # note: use_pallas_response=True is 1.75x faster standalone but
         # regresses the fused end-to-end program (XLA scheduling around the
         # custom call); measured off as the better default here
-        fso = solver._fast_sls_opts()._replace(
+        solver.opts = solver.opts._replace(
             ipm_first=IPMOptions(max_iter=8, tol=1e-3, kkt=kkt)
         )
-        solver._fast_sls_opts = lambda: fso
 
     # streaming fused response (no Phi materialization; O(N nx nw) memory):
     # measured +8% at B=256 on v5e (6,446 vs 5,946 solves/s) and required
@@ -87,11 +86,9 @@ def main():
     # two-QP path (98.9% / 2). Measured 9,262 vs 6,446 solves/s at B=256.
     # RNM_BENCH_RECYCLE=0 restores the reference-shaped two-QP iteration.
     recycle = bool(jax_env_int("RNM_BENCH_RECYCLE", 1))
-    if streaming or recycle:
-        fso2 = solver._fast_sls_opts()._replace(
-            streaming_response=streaming, recycle_eta=recycle
-        )
-        solver._fast_sls_opts = lambda: fso2
+    solver.opts = solver.opts._replace(
+        streaming_response=streaming, recycle_eta=recycle
+    )
 
     N = solver.N
     B = int(jax_env_int("RNM_BENCH_BATCH", 256))

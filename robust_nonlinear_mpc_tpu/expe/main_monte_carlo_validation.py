@@ -94,14 +94,12 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
                            tol_step=1e-4, tol_feas=1e-4, max_iter=25)
         )
 
-    if recycle or streaming:
-        # throughput modes: dual-recycling RTI (one QP per step) and/or the
-        # streaming fused response (no Phi materialization — required for
-        # very large scenario counts)
-        fso = solver._fast_sls_opts()._replace(
-            recycle_eta=recycle, streaming_response=streaming
-        )
-        solver._fast_sls_opts = lambda: fso
+    # throughput modes: dual-recycling RTI (one QP per step) and/or the
+    # streaming fused response (no Phi materialization — required for very
+    # large scenario counts)
+    solver.opts = solver.opts._replace(
+        recycle_eta=recycle, streaming_response=streaming
+    )
 
     mesh = scenario_mesh()
     n_dev = mesh.devices.size

@@ -56,6 +56,14 @@ class SCPSLSOptions(NamedTuple):
     sls_conv_tol: float = 1e-3         # fast-SLS primal criterion
     sls_max_iter: int = 30
     ipm: IPMOptions = IPMOptions()
+    # throughput modes (see FastSLSOptions for semantics/measurements):
+    # streaming fused response (no Phi materialization) and dual-recycling
+    # RTI (one QP per warm step, eta persisted across steps)
+    streaming_response: bool = False
+    recycle_eta: bool = False
+    # looser IPM for the untightened first QP of each RTI iteration
+    # (duals-only consumer); None = use `ipm` for both
+    ipm_first: IPMOptions | None = None
     sqp: SQPOptions = SQPOptions()
     refine_on_convergence: bool = False
     verbose: bool = False
@@ -165,7 +173,10 @@ class SCPSLSSolver:
             max_iter=self.opts.sls_max_iter,
             conv_tol=self.opts.sls_conv_tol,
             epsilon_backoff=self.opts.epsilon_backoff,
+            streaming_response=self.opts.streaming_response,
+            recycle_eta=self.opts.recycle_eta,
             ipm=self.opts.ipm,
+            ipm_first=self.opts.ipm_first,
         )
 
     # ------------------------------------------------------------------
@@ -512,10 +523,15 @@ class SCPSLSSolver:
             return
         self._X, self._U = self._shift_jit(self._X, self._U)
         m = self.m
+        old = self._persist
         self._persist = FastSLSPersist.init(
             self.N, m.nx, m.nu, m.ni, m.ni_f, m.nw, self.dtype,
-            keep_prev=self._persist.prev_primal,
-        )._replace(have_prev=self._persist.have_prev)
+            keep_prev=old.prev_primal,
+        )._replace(have_prev=old.have_prev)
+        if self.opts.recycle_eta:
+            # dual-recycling mode: eta IS the recycled state — it must
+            # survive the warm shift (FastSLSOptions.recycle_eta)
+            self._persist = self._persist._replace(eta=old.eta, eta_f=old.eta_f)
         self.it_data = {}
 
     def reset(self):

@@ -105,3 +105,29 @@ def test_solve_profiled_stage_timings():
     # same math as the fused iteration
     np.testing.assert_allclose(prof["primal_u"], fused["primal_u"], atol=1e-7)
     np.testing.assert_allclose(prof["backoff"], fused["backoff"], atol=1e-8)
+
+
+def test_throughput_options_first_class():
+    """SCPSLSOptions exposes the throughput modes (streaming response,
+    dual-recycling, loose first-QP) without monkeypatching _fast_sls_opts;
+    the closed-loop solve stays successful and feasible."""
+    m, solver = _solver(rti=1, inner=1)
+    solver.opts = solver.opts._replace(
+        streaming_response=True, recycle_eta=True
+    )
+    fso = solver._fast_sls_opts()
+    assert fso.streaming_response and fso.recycle_eta
+
+    x0 = np.array([0.4, 0.3, 0.1, 0.0])
+    sol = solver.solve(x0)
+    assert sol["success"]
+    # streaming mode leaves Phi unfilled (zeros in the full-size persist)
+    assert float(np.max(np.abs(sol["Phi_x"]))) == 0.0
+    # recycled eta from the first QP's duals survives the warm shift
+    solver.reset_warm_start()
+    assert float(np.max(np.abs(np.asarray(solver._persist.eta)))) > 0
+    sol2 = solver.solve(x0)
+    assert sol2["success"]
+    X, U = sol2["primal_x"], sol2["primal_u"]
+    assert np.max(np.abs(U)) <= 5.0 + 1e-9
+    assert np.max(np.abs(X)) <= 10.0 + 1e-9
