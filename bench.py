@@ -55,8 +55,10 @@ def main():
     m, solver = make_rocket_problem(N=15)
     solver.opts = solver.opts._replace(verbose=False)
     # Newton-step linear solver inside the IPM: "riccati" (scan) or
-    # "condensed" (scan-free state elimination; see IPMOptions.kkt)
+    # "condensed" (scan-free state elimination; see IPMOptions.kkt) —
+    # honored on both the f32 (TPU) and f64 (CPU) paths
     kkt = os.environ.get("RNM_BENCH_KKT", "riccati")
+    solver.opts = solver.opts._replace(ipm=solver.opts.ipm._replace(kkt=kkt))
     if dtype == jnp.float32:
         # f32 throughput path: f32-achievable tolerances; the untightened
         # first QP (duals-only consumer) runs at reduced accuracy, and the

@@ -144,7 +144,11 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         f"tube containment={containment_rate:.4f}, "
         f"success={results['success_rate']:.4f}"
     )
-    tag = f"mc_validation_{system}" + ("_recycle" if recycle else "")
+    tag = (
+        f"mc_validation_{system}"
+        + ("_recycle" if recycle else "")
+        + ("_streaming" if streaming else "")
+    )
     return save_results(FOLDER, tag, results)
 
 

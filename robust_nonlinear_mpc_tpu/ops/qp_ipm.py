@@ -415,6 +415,10 @@ def solve_qp(
     qp_jit.py:303 warm_start=False; warm starting only changes iteration
     counts, never the optimum of this strictly convex QP).
     """
+    if opts.kkt not in ("riccati", "condensed"):
+        raise ValueError(
+            f"IPMOptions.kkt must be 'riccati' or 'condensed', got {opts.kkt!r}"
+        )
     N, nx = data.c.shape
     nu = data.B.shape[2]
     stat = stat.per_stage(N)

@@ -277,8 +277,15 @@ def fast_sls_solve(
             jnp.max(jnp.abs(y - persist.prev_primal)) <= opts.conv_tol
         )
         # refresh eta for the NEXT solve from this QP's duals and the
-        # freshly computed beta (eta = mu / (2 sqrt(beta)))
+        # freshly computed beta (eta = mu / (2 sqrt(beta))) — but, mirroring
+        # the standard path's `do_update = ~(conv | infeasible)`, keep the
+        # previous eta when the QP failed (duals are garbage; recycling them
+        # would poison the next step's gains) or when the primal has
+        # converged (the tube is at its fixed point)
         eta_n, eta_f_n = evaluate_dual_eta(sol.lam, sol.lam_f, nbeta, nbeta_f, eps)
+        refresh = sol.success & ~conv
+        eta_n = jnp.where(refresh, eta_n, persist.eta)
+        eta_f_n = jnp.where(refresh, eta_f_n, persist.eta_f)
         new_persist = FastSLSPersist(
             prev_primal=y, have_prev=jnp.array(True),
             eta=eta_n, eta_f=eta_f_n, K=K_r,
@@ -293,7 +300,9 @@ def fast_sls_solve(
             ),
             backoff_u=nboff[:, nx : nx + nu],
             cost_nominal=sol.cost, cost_tube=ct,
-            iteration_number=jnp.array(1, jnp.int32),
+            # 0 when the primal already satisfied the convergence criterion
+            # (the solve was a pure re-solve), 1 when a tube update ran
+            iteration_number=jnp.where(conv, 0, 1).astype(jnp.int32),
             success=sol.success, persist=new_persist,
             qp_iters=sol.iters, qp_kkt=sol.kkt_res,
         )

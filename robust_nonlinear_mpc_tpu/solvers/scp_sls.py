@@ -182,11 +182,13 @@ class SCPSLSSolver:
     # ------------------------------------------------------------------
     # Pure per-iteration math (jitted)
     # ------------------------------------------------------------------
-    def _iteration(self, X, U, x0, persist) -> SCPIterResult:
+    def assemble_deviation_problem(self, X, U, x0):
+        """Jacobian sweep + constraint residuals + linear cost + deviation IC
+        (reference update_jacobian:251-366, socp_step:408-410). Pure; shared
+        by _iteration, solve_profiled, and tools/stage_profile so the
+        profilers always measure exactly the program the solver runs."""
         m, N = self.m, self.N
         stat = self.prob.stat
-
-        # jacobian sweep + defects (reference update_jacobian:251-366)
         A, B, c = m.linearize_traj(X, U)
         g_res = self._g[None] - mm(X[:N], stat.Gx.T) - mm(U, stat.Gu.T)
         gf_res = self._gf - stat.Gf @ X[N]
@@ -195,9 +197,14 @@ class SCPSLSSolver:
             [2 * mm(X[:N], self._Qj.T), (2 * self._Qfj @ X[N])[None]], axis=0
         )
         qu = 2 * mm(U, self._Rj.T)
+        return A, B, c, qx, qu, g_res, gf_res, x0 - X[0]
 
-        # deviation initial condition (reference socp_step:408-410)
-        xinit_dev = x0 - X[0]
+    def _iteration(self, X, U, x0, persist) -> SCPIterResult:
+        m, N = self.m, self.N
+
+        A, B, c, qx, qu, g_res, gf_res, xinit_dev = (
+            self.assemble_deviation_problem(X, U, x0)
+        )
 
         sls = fast_sls_solve(
             self.prob, A, B, c, qx, qu, g_res, gf_res, xinit_dev,
@@ -432,13 +439,9 @@ class SCPSLSSolver:
             Gmat = jnp.concatenate([stat.Gx, stat.Gu], axis=1)
 
             def jac_stage(X, U, x0):
-                A, B, c = m.linearize_traj(X, U)
-                g_res = self._g[None] - mm(X[:N], stat.Gx.T) - mm(U, stat.Gu.T)
-                gf_res = self._gf - stat.Gf @ X[N]
-                qx = jnp.concatenate(
-                    [2 * mm(X[:N], self._Qj.T), (2 * self._Qfj @ X[N])[None]], axis=0
+                A, B, c, qx, qu, g_res, gf_res, _ = (
+                    self.assemble_deviation_problem(X, U, x0)
                 )
-                qu = 2 * mm(U, self._Rj.T)
                 return A, B, c, g_res, gf_res, qx, qu
 
             def qp_stage(A, B, c, qx, qu, h, hf, xinit):

@@ -26,13 +26,6 @@ import os
 import time
 
 
-def _env_int(name, default):
-    try:
-        return int(os.environ.get(name, default))
-    except ValueError:
-        return default
-
-
 def main():
     import jax
 
@@ -45,6 +38,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from robust_nonlinear_mpc_tpu.utils.platform import env_int as _env_int
+
     from robust_nonlinear_mpc_tpu.expe.main_rocket_robust_closed_loop import (
         X0,
         make_rocket_problem,
@@ -55,17 +50,17 @@ def main():
         evaluate_dual_eta,
         response_streaming,
     )
-    from robust_nonlinear_mpc_tpu.utils.numerics import mm, set_tube_precision
+    from robust_nonlinear_mpc_tpu.utils.numerics import set_tube_precision
 
     dtype = jnp.zeros(0).dtype
     m, solver = make_rocket_problem(N=15)
+    kkt = os.environ.get("RNM_BENCH_KKT", "riccati")
     if dtype == jnp.float32:
         set_tube_precision("default")
-        kkt = os.environ.get("RNM_BENCH_KKT", "riccati")
         ipm_first = IPMOptions(max_iter=8, tol=1e-3, kkt=kkt)
         ipm_main = IPMOptions(max_iter=_env_int("RNM_BENCH_QP_ITERS", 15), tol=3e-5, kkt=kkt)
     else:
-        ipm_first = ipm_main = solver.opts.ipm
+        ipm_first = ipm_main = solver.opts.ipm._replace(kkt=kkt)
 
     N = solver.N
     B = _env_int("RNM_BENCH_BATCH", 256)
@@ -90,15 +85,10 @@ def main():
     Us = jnp.asarray(0.01 * rng.standard_normal((B, N, m.nu)), dtype)
 
     # ---- stage definitions (single-instance; vmapped below) ----
+    # assembly shared with SCPSLSSolver._iteration / solve_profiled, so the
+    # profiler measures exactly the program the solver runs
     def stage_jac(X, U, x0_i):
-        A, Bm, c = m.linearize_traj(X, U)
-        g_res = solver._g[None] - mm(X[:N], stat.Gx.T) - mm(U, stat.Gu.T)
-        gf_res = solver._gf - stat.Gf @ X[N]
-        qx = jnp.concatenate(
-            [2 * mm(X[:N], solver._Qj.T), (2 * solver._Qfj @ X[N])[None]], axis=0
-        )
-        qu = 2 * mm(U, solver._Rj.T)
-        return A, Bm, c, qx, qu, g_res, gf_res, x0_i - X[0]
+        return solver.assemble_deviation_problem(X, U, x0_i)
 
     def stage_qp1(A, Bm, c, qx, qu, g_res, gf_res, xdev):
         data = QPData(A=A, B=Bm, c=c, qx=qx, qu=qu, h=g_res, hf=gf_res, xinit=xdev)

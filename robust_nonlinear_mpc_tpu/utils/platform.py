@@ -28,3 +28,11 @@ def setup(platform: str | None = "cpu", x64: bool = True, host_devices: int | No
     if x64:
         jax.config.update("jax_enable_x64", True)
     return jax
+
+
+def env_int(name: str, default: int) -> int:
+    """Integer env knob with a safe fallback (bench/profiler RNM_* flags)."""
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
