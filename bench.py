@@ -64,8 +64,9 @@ def main():
         # first QP (duals-only consumer) runs at reduced accuracy, and the
         # tube synthesis uses the fast MXU precision
         qp_iters = jax_env_int("RNM_BENCH_QP_ITERS", 15)
+        qp_tol = float(os.environ.get("RNM_BENCH_QP_TOL", 3e-5))
         solver.opts = solver.opts._replace(
-            ipm=IPMOptions(max_iter=qp_iters, tol=3e-5, kkt=kkt)
+            ipm=IPMOptions(max_iter=qp_iters, tol=qp_tol, kkt=kkt)
         )
         set_tube_precision("default")
         # note: use_pallas_response=True is 1.75x faster standalone but

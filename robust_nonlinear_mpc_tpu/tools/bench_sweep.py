@@ -1,0 +1,154 @@
+"""Multi-system throughput sweep: warm MPC steps/s for every reference model.
+
+bench.py pins the headline metric (rocket, the reference's true-RTI config);
+this sweep measures the other systems at THEIR reference configurations
+(pendulum/quadrotor run rti=3 outer SCP iterations with
+fast_sls_rti_steps=2 — expe/main_*_robust_closed_loop.py), so one "step"
+here is a full warm MPC step including all outer iterations.
+
+Run: python -m robust_nonlinear_mpc_tpu.tools.bench_sweep [systems...]
+Env: RNM_BENCH_BATCH (256), RNM_BENCH_REPS (10), RNM_BENCH_RECYCLE (1),
+     RNM_BENCH_STREAMING (1).
+Prints one JSON line per system.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def bench_system(system: str, B: int, n_rep: int, recycle: bool, streaming: bool):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions
+    from robust_nonlinear_mpc_tpu.solvers.fast_sls import FastSLSPersist
+    from robust_nonlinear_mpc_tpu.solvers.scp_sls import SCPSLSSolver
+    from robust_nonlinear_mpc_tpu.utils.numerics import set_tube_precision
+
+    dtype = jnp.zeros(0).dtype
+    N = 15
+    if system == "rocket":
+        from robust_nonlinear_mpc_tpu.expe.main_rocket_robust_closed_loop import (
+            X0,
+            make_rocket_problem,
+        )
+
+        m, solver = make_rocket_problem(N=N)
+        x_center = np.array(X0)
+        hover = np.zeros(m.nx)
+    elif system == "quadrotor":
+        from robust_nonlinear_mpc_tpu.models import Quadrotor
+
+        m = Quadrotor()
+        Q = np.diag([10.0] * 3 + [1.0] * 3 + [1.0] * 4 + [2.0] * 3)
+        m.E = m.dt * 5 * np.diag([0.1] * 3 + [0.15] * 3 + [0.02] * 4 + [0.2] * 3)
+        solver = SCPSLSSolver(
+            N, Q, np.eye(4), m, 10 * Q,
+            Q_reg=1e4 * np.eye(13), R_reg=1e4 * np.eye(4), Q_reg_f=1e4 * np.eye(13),
+            rti=3, fast_sls_rti_steps=2,
+        )
+        x_center = np.concatenate([np.full(3, 2.0), np.zeros(3), [1, 0, 0, 0], np.zeros(3)])
+        hover = np.concatenate([np.zeros(6), [1, 0, 0, 0], np.zeros(3)])
+    elif system == "pendulum":
+        from robust_nonlinear_mpc_tpu.models import Pendulum
+
+        m = Pendulum()
+        m.E = 0.003 * np.eye(4)
+        solver = SCPSLSSolver(
+            N, np.eye(4), np.eye(1), m, 10 * np.eye(4),
+            Q_reg=1e3 * np.eye(4), R_reg=1e3 * np.eye(1), Q_reg_f=1e4 * np.eye(4),
+            rti=3, fast_sls_rti_steps=2,
+        )
+        x_center = np.array([0.5, 0.5, 0.0, 0.0])
+        hover = np.zeros(4)
+    else:
+        raise ValueError(system)
+
+    solver.opts = solver.opts._replace(verbose=False)
+    if dtype == jnp.float32:
+        solver.opts = solver.opts._replace(
+            ipm=IPMOptions(max_iter=15, tol=3e-5),
+            ipm_first=IPMOptions(max_iter=8, tol=1e-3),
+        )
+        set_tube_precision("default")
+    solver.opts = solver.opts._replace(
+        streaming_response=streaming, recycle_eta=recycle
+    )
+
+    rti = max(int(solver.opts.rti), 1)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(x_center[None] + 0.02 * rng.standard_normal((B, m.nx)), dtype)
+    Xs = jnp.asarray(
+        np.linspace(x_center, hover, N + 1)[None]
+        + 0.01 * rng.standard_normal((B, N + 1, m.nx)),
+        dtype,
+    )
+    Us = jnp.asarray(0.01 * rng.standard_normal((B, N, m.nu)), dtype)
+    persist = FastSLSPersist.init(
+        N, m.nx, m.nu, m.ni, m.ni_f, m.nw, dtype, store_phi=not streaming
+    )
+    persists = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), persist
+    )
+
+    def mpc_step(X, U, x0, pers):
+        ok = jnp.array(True)
+        for _ in range(rti):  # full warm step = all outer SCP iterations
+            res = solver._iteration(X, U, x0, pers)
+            X, U, pers = res.X, res.U, res.persist
+            ok = ok & res.success
+        return X, U, pers, ok
+
+    step = jax.jit(jax.vmap(mpc_step))
+    out = step(Xs, Us, x0s, persists)
+    jax.block_until_ready(out[0])
+
+    t0 = time.perf_counter()
+    Xc, Uc, Pc = Xs, Us, persists
+    for _ in range(n_rep):
+        Xc, Uc, Pc, ok = step(Xc, Uc, x0s, Pc)
+    jax.block_until_ready(Xc)
+    dt_s = time.perf_counter() - t0
+
+    return {
+        "metric": f"{system}_sls_mpc_steps_per_s",
+        "value": round(B * n_rep / dt_s, 2),
+        "unit": "warm MPC steps/s",
+        "rti": rti,
+        "fast_sls_rti_steps": int(solver.opts.fast_sls_rti_steps),
+        "batch": B,
+        "reps": n_rep,
+        "device": str(jax.devices()[0]),
+        "dtype": str(dtype),
+        "success_fraction": round(float(jnp.mean(ok.astype(jnp.float32))), 4),
+        "finite": bool(jnp.all(jnp.isfinite(Xc))),
+    }
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from robust_nonlinear_mpc_tpu.utils.platform import env_int
+
+    systems = sys.argv[1:] or ["pendulum", "quadrotor", "rocket"]
+    B = env_int("RNM_BENCH_BATCH", 256)
+    n_rep = env_int("RNM_BENCH_REPS", 10)
+    recycle = bool(env_int("RNM_BENCH_RECYCLE", 1))
+    streaming = bool(env_int("RNM_BENCH_STREAMING", 1))
+    for system in systems:
+        print(json.dumps(bench_system(system, B, n_rep, recycle, streaming)))
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,15 @@ def test_stage_profile_tool(monkeypatch, capsys):
     assert rec["metric"] == "rocket_mpc_stage_profile"
     assert set(rec["stage_ms"]) == {"jac", "qp1", "bwd", "resp", "qp2"}
     assert rec["qp2_success"] == 1.0
+
+
+def test_bench_sweep_tool(monkeypatch):
+    """Multi-system sweep composes the full warm step (rti outer iterations)
+    and reports a well-formed record (tiny batch, pendulum only)."""
+    monkeypatch.setenv("RNM_BENCH_BATCH", "2")
+    monkeypatch.setenv("RNM_BENCH_REPS", "1")
+    from robust_nonlinear_mpc_tpu.tools.bench_sweep import bench_system
+
+    rec = bench_system("pendulum", B=2, n_rep=1, recycle=True, streaming=True)
+    assert rec["metric"] == "pendulum_sls_mpc_steps_per_s"
+    assert rec["rti"] == 3 and rec["success_fraction"] == 1.0 and rec["finite"]
