@@ -52,7 +52,9 @@ def main():
     dev = jax.devices()[0]
     dtype = jnp.zeros(0).dtype
 
-    m, solver = make_rocket_problem(N=15)
+    # horizon length: default 15 (the reference headline config); RNM_BENCH_N
+    # probes horizon scaling (the response/backoff work grows O(N^2))
+    m, solver = make_rocket_problem(N=jax_env_int("RNM_BENCH_N", 15))
     solver.opts = solver.opts._replace(verbose=False)
     # Newton-step linear solver inside the IPM: "riccati" (scan) or
     # "condensed" (scan-free state elimination; see IPMOptions.kkt) —

@@ -75,6 +75,47 @@ def riccati_step(A, B, Cx, Cu, Sk):
     return K, sym(S)
 
 
+def riccati_column(j, eta_col, eta_f_j, A, B, Gmat, Gf, regs: SLSRegs):
+    """Backward Riccati recursion for ONE SLS column j (masked to k >= j).
+
+    eta_col (N, ni) = eta[:, j]; eta_f_j (ni_f,) = eta_f[j].
+    Returns S_col (N+1, nx, nx), K_col (N, nu, nx).
+    vmap over j for the dense kernel (`backward_solve`); shard the column
+    axis over a device mesh for large N (`parallel/columns.py`).
+    """
+    N, nx = A.shape[0], A.shape[1]
+    Gx = Gmat[:, :nx]
+    Gu = Gmat[:, nx:]
+    SN = jnp.matmul(Gf.T, eta_f_j[:, None] * Gf, precision=tube_prec()) + regs.Q_reg_f
+
+    def step(S_next, inp):
+        k, A_k, B_k, eta_kj = inp
+        tp = tube_prec()
+        mmt = lambda a, b: jnp.matmul(a, b, precision=tp)
+        Cxx = mmt(Gx.T, eta_kj[:, None] * Gx) + regs.Q_reg
+        Cuu = mmt(Gu.T, eta_kj[:, None] * Gu) + regs.R_reg
+        K_k, S_k = riccati_step(A_k, B_k, Cxx, Cuu, S_next)
+        active = k >= j
+        S_out = jnp.where(active, S_k, jnp.zeros_like(S_k))
+        K_out = jnp.where(active, K_k, jnp.zeros_like(K_k))
+        S_carry = jnp.where(active, S_k, S_next)
+        return S_carry, (K_out, S_out)
+
+    ks = jnp.arange(N)
+    _, (K_col, S_col) = lax.scan(step, SN, (ks, A, B, eta_col), reverse=True)
+    S_col = jnp.concatenate([S_col, SN[None]], axis=0)  # (N+1, nx, nx)
+    return S_col, K_col
+
+
+def eta_columns(eta):
+    """(N, N, ni) stage-major eta -> (N+1, N, ni) column-major with the
+    empty terminal column appended (column j = N has no stage etas)."""
+    return jnp.concatenate(
+        [jnp.swapaxes(eta, 0, 1), jnp.zeros((1, eta.shape[0], eta.shape[2]), eta.dtype)],
+        axis=0,
+    )
+
+
 def backward_solve(A, B, Gmat, Gf, eta, eta_f, regs: SLSRegs):
     """Per-column backward Riccati producing disturbance-feedback gains.
 
@@ -89,41 +130,11 @@ def backward_solve(A, B, Gmat, Gf, eta, eta_f, regs: SLSRegs):
     The column axis j is vmapped; the stage recursion k = N-1..j is a masked
     reverse scan.
     """
-    N, nx = A.shape[0], A.shape[1]
-    nu = B.shape[2]
-
-    Gx = Gmat[:, :nx]   # (ni, nx)
-    Gu = Gmat[:, nx:]   # (ni, nu)
-
-    def column(j, eta_col, eta_f_j):
-        # eta_col: (N, ni) = eta[:, j]
-        SN = jnp.matmul(Gf.T, eta_f_j[:, None] * Gf, precision=tube_prec()) + regs.Q_reg_f
-
-        def step(S_next, inp):
-            k, A_k, B_k, eta_kj = inp
-            tp = tube_prec()
-            mmt = lambda a, b: jnp.matmul(a, b, precision=tp)
-            Cxx = mmt(Gx.T, eta_kj[:, None] * Gx) + regs.Q_reg
-            Cuu = mmt(Gu.T, eta_kj[:, None] * Gu) + regs.R_reg
-            K_k, S_k = riccati_step(A_k, B_k, Cxx, Cuu, S_next)
-            active = k >= j
-            S_out = jnp.where(active, S_k, jnp.zeros_like(S_k))
-            K_out = jnp.where(active, K_k, jnp.zeros_like(K_k))
-            S_carry = jnp.where(active, S_k, S_next)
-            return S_carry, (K_out, S_out)
-
-        ks = jnp.arange(N)
-        _, (K_col, S_col) = lax.scan(step, SN, (ks, A, B, eta_col), reverse=True)
-        S_col = jnp.concatenate([S_col, SN[None]], axis=0)  # (N+1, nx, nx)
-        return S_col, K_col
-
+    N = A.shape[0]
     js = jnp.arange(N + 1)
-    # eta columns: (N+1 columns, N stages, ni); column j = N has no stage etas
-    eta_cols = jnp.concatenate(
-        [jnp.swapaxes(eta, 0, 1), jnp.zeros((1, eta.shape[0], eta.shape[2]), eta.dtype)],
-        axis=0,
-    )  # (N+1, N, ni)
-    S_all, K_all = jax.vmap(column)(js, eta_cols, eta_f)
+    S_all, K_all = jax.vmap(
+        lambda j, ec, ef: riccati_column(j, ec, ef, A, B, Gmat, Gf, regs)
+    )(js, eta_columns(eta), eta_f)
     # S_all: (N+1 cols, N+1 stages, nx, nx) -> transpose to (stage, col, ...)
     S = jnp.swapaxes(S_all, 0, 1)
     K = jnp.swapaxes(K_all, 0, 1)
@@ -265,6 +276,65 @@ def response_streaming(A, B, E, K, Gx, Gu, Gf, regs: SLSRegs, epsilon):
     qf = jnp.einsum("ab,jbw->jaw", regs.Q_reg_f, last, precision=tp)
     cost_tube = jnp.sqrt(cost_acc + jnp.sum(qf * qf))
     return beta, beta_f, backoff, backoff_f, cost_tube
+
+
+def response_column(j, K_col, A, B, E, Gx, Gu, Gf, regs: SLSRegs, epsilon,
+                    phi0=None):
+    """Streaming response for ONE SLS column j: propagate Phi_x[:, j] through
+    A_k + B_k K[k, j], accumulating the column's backoff terms and tube-cost
+    contribution without materializing Phi.
+
+    K_col (N, nu, nx) = K[:, j]. Returns:
+        beta_col   (N, ni)   = beta[:, j]   (zero for stages k < j)
+        beta_f_j   (ni_f,)   = beta_f[j]
+        cost_sq_j  ()        column contribution to the squared tube cost
+
+    Columns are fully independent — this is the unit sharded over a device
+    mesh by `parallel/columns.py` for large horizons; `backoff[k]` then
+    reduces as a psum of sqrt(beta_col[k]) over the column axis.
+    A padded (inactive) column is encoded by j > N: it propagates zeros and
+    contributes exactly zero to every output (the epsilon floor is masked).
+    `phi0` overrides the zero scan-carry init — inside `shard_map` the carry
+    must be marked device-varying (`jax.lax.pcast(zeros, axis, to='varying')`,
+    see parallel/columns.py).
+    """
+    N, nx = A.shape[0], A.shape[1]
+    nw = E.shape[2]
+    tp = tube_prec()
+
+    def step(phi, inp):
+        k, A_k, B_k, K_k, E_k = inp
+        # inject the diagonal: Phi_x[j, j] = E[j]
+        phi = jnp.where(k == j, E_k, phi)
+        phi_u = jnp.matmul(K_k, phi, precision=tp)
+        Z = jnp.matmul(Gx, phi, precision=tp) + jnp.matmul(Gu, phi_u, precision=tp)
+        active = k >= j
+        beta_kj = jnp.where(
+            active, jnp.maximum(jnp.sum(Z * Z, axis=-1), epsilon), 0.0
+        )
+        qx = jnp.matmul(regs.Q_reg, phi, precision=tp)
+        ru = jnp.matmul(regs.R_reg, phi_u, precision=tp)
+        cost_k = jnp.sum(qx * qx) + jnp.sum(ru * ru)
+        Acl = A_k + jnp.matmul(B_k, K_k, precision=tp)
+        nxt = jnp.matmul(Acl, phi, precision=tp)
+        nxt = jnp.where(active, nxt, jnp.zeros_like(phi))
+        return nxt, (beta_kj, cost_k)
+
+    if phi0 is None:
+        phi0 = jnp.zeros((nx, nw), dtype=A.dtype)
+    last, (beta_col, cost_ks) = lax.scan(
+        step, phi0, (jnp.arange(N), A, B, K_col, E[:N])
+    )
+    # terminal row: Phi_x[N, j] (diagonal injection for the j = N column)
+    last = jnp.where(j == N, E[N], last)
+    Zf = jnp.matmul(Gf, last, precision=tp)
+    live = j <= N  # padded columns must contribute exactly zero
+    beta_f_j = jnp.where(
+        live, jnp.maximum(jnp.sum(Zf * Zf, axis=-1), epsilon), 0.0
+    )
+    qf = jnp.matmul(regs.Q_reg_f, last, precision=tp)
+    cost_sq_j = jnp.sum(cost_ks) + jnp.sum(qf * qf)
+    return beta_col, beta_f_j, cost_sq_j
 
 
 # ----------------------------------------------------------------------
