@@ -28,7 +28,7 @@ FOLDER = "monte_carlo_validation"
 
 
 def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
-             recycle=False, streaming=False):
+             recycle=False, streaming=False, warm_qp=False):
     if device == "cpu":
         setup("cpu", x64=True, host_devices=8)
     else:
@@ -98,7 +98,8 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
     # streaming fused response (no Phi materialization — required for very
     # large scenario counts)
     solver.opts = solver.opts._replace(
-        recycle_eta=recycle, streaming_response=streaming
+        recycle_eta=recycle, streaming_response=streaming,
+        recycle_warm_qp=recycle and warm_qp,
     )
 
     mesh = scenario_mesh()
@@ -127,6 +128,7 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         "system": system,
         "recycle": bool(recycle),
         "streaming": bool(streaming),
+        "warm_qp": bool(recycle and warm_qp),
         "scenarios": B,
         "steps": steps,
         "devices": int(n_dev),
@@ -148,6 +150,7 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         f"mc_validation_{system}"
         + ("_recycle" if recycle else "")
         + ("_streaming" if streaming else "")
+        + ("_warmqp" if (recycle and warm_qp) else "")
     )
     return save_results(FOLDER, tag, results)
 
@@ -162,7 +165,9 @@ if __name__ == "__main__":
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--recycle", action="store_true")
     p.add_argument("--streaming", action="store_true")
+    p.add_argument("--warm-qp", action="store_true", dest="warm_qp")
     args = p.parse_args()
     if args.run:
         generate(args.system, args.scenarios, args.steps, args.device, args.seed,
-                 recycle=args.recycle, streaming=args.streaming)
+                 recycle=args.recycle, streaming=args.streaming,
+             warm_qp=args.warm_qp)

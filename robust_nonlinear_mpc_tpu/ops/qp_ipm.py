@@ -455,6 +455,17 @@ def solve_qp(
         lam0 = jnp.maximum(init.lam, margin)
         lamf0 = jnp.maximum(init.lam_f, margin)
         nu0 = init.nu_dyn
+        # Mehrotra initial-point shift: a warm point from a NEARBY problem has
+        # near-complementary (s, lam) pairs (products ~ margin^2) while the new
+        # problem's residuals are O(problem change) — starting that far off the
+        # central path at tiny mu collapses the fraction-to-boundary step sizes
+        # and the iteration stalls (measured: 26/32 rocket warm-step lanes hit
+        # the iteration cap at KKT ~ 1). Shift both cones so every product is
+        # at least ~0.5 * (duality gap)/n, Mehrotra's own heuristic.
+        gap0 = (jnp.sum(s0 * lam0) + jnp.sum(sf0 * lamf0)) / n_comp
+        shift = 0.5 * jnp.sqrt(gap0)
+        s0, sf0 = s0 + shift, sf0 + shift
+        lam0, lamf0 = lam0 + shift, lamf0 + shift
 
     # OSQP-style relative termination scales (qp_jit.py runs OSQP with
     # eps_abs = eps_rel = 1e-9; we match the relative criterion, which is the

@@ -37,6 +37,7 @@ from robust_nonlinear_mpc_tpu.ops.packing import pack_primal
 from robust_nonlinear_mpc_tpu.ops.qp_ipm import (
     IPMOptions,
     QPData,
+    QPSolution,
     QPStatics,
     condense,
     solve_qp,
@@ -92,12 +93,43 @@ class FastSLSOptions(NamedTuple):
     # does; the reference-faithful closed-loop driver re-zeros persist at
     # warm shift and degenerates this mode to reg-only tube gains).
     recycle_eta: bool = False
+    # warm-start the recycle-mode QP from the PREVIOUS solve's QP solution
+    # (primal + inequality/equality duals persisted in FastSLSPersist.qp_warm;
+    # slacks are re-centered to the new tightened bounds inside solve_qp).
+    # Distinct from warm_start_qp (intra-solve, untightened -> tightened,
+    # measured-and-rejected): across MPC steps the warm-shifted problem is a
+    # small perturbation with a near-identical active set, which is where a
+    # Mehrotra IPM warm start actually pays.
+    recycle_warm_qp: bool = False
     ipm: IPMOptions = IPMOptions()
     # optional looser IPM for the *untightened* first solve of an RTI
     # iteration: its primal is discarded (the final tightened solve decides
     # the control); only its duals feed eta -> backoffs, which tolerate
     # reduced accuracy. None = use `ipm` for both (the parity default).
     ipm_first: IPMOptions | None = None
+
+
+class QPWarm(NamedTuple):
+    """Previous QP solution persisted across solves (consumed by
+    FastSLSOptions.recycle_warm_qp to warm-start the next solve's IPM)."""
+
+    X: jax.Array        # (N+1, nx)
+    U: jax.Array        # (N, nu)
+    lam: jax.Array      # (N, ni)
+    lam_f: jax.Array    # (ni_f,)
+    nu_dyn: jax.Array   # (N, nx)
+    valid: jax.Array    # bool: fields hold a successful previous solution
+
+    @staticmethod
+    def init(N, nx, nu, ni, ni_f, dtype):
+        return QPWarm(
+            X=jnp.zeros((N + 1, nx), dtype),
+            U=jnp.zeros((N, nu), dtype),
+            lam=jnp.ones((N, ni), dtype),
+            lam_f=jnp.ones((ni_f,), dtype),
+            nu_dyn=jnp.zeros((N, nx), dtype),
+            valid=jnp.array(False),
+        )
 
 
 class FastSLSPersist(NamedTuple):
@@ -119,6 +151,7 @@ class FastSLSPersist(NamedTuple):
     Phi_x: jax.Array         # (N+1, N+1, nx, nw)
     Phi_u: jax.Array         # (N, N+1, nu, nw)
     cost_tube: jax.Array     # scalar
+    qp_warm: QPWarm          # previous QP solution (recycle_warm_qp)
 
     @staticmethod
     def init(N, nx, nu, ni, ni_f, nw, dtype, keep_prev=None, store_phi=True):
@@ -140,6 +173,7 @@ class FastSLSPersist(NamedTuple):
             Phi_x=jnp.zeros((N + 1, n_phi, nx, nw), dtype),
             Phi_u=jnp.zeros((N, n_phi, nu, nw), dtype),
             cost_tube=jnp.asarray(jnp.nan, dtype),
+            qp_warm=QPWarm.init(N, nx, nu, ni, ni_f, dtype),
         )
 
 
@@ -263,6 +297,42 @@ def fast_sls_solve(
             )
         return Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct
 
+    def _warm_init():
+        """QP warm start from the previous solve's solution (recycle_warm_qp).
+        Falls back to near-cold values on the first solve / after a failed
+        QP (valid=False). Only X/U/lam/lam_f/nu_dyn are read by solve_qp's
+        init path; slacks are re-centered there."""
+        w = persist.qp_warm
+        v = w.valid
+        return QPSolution(
+            X=jnp.where(v, w.X, 0.0),
+            U=jnp.where(v, w.U, 0.0),
+            lam=jnp.where(v, w.lam, 1.0),
+            lam_f=jnp.where(v, w.lam_f, 1.0),
+            nu_dyn=jnp.where(v, w.nu_dyn, 0.0),
+            nu_init=jnp.zeros((nx,), dtype),
+            s=jnp.zeros((N, ni), dtype),
+            s_f=jnp.zeros((ni_f,), dtype),
+            cost=jnp.zeros((), dtype),
+            kkt_res=jnp.zeros((), dtype),
+            iters=jnp.zeros((), jnp.int32),
+            success=v,
+        )
+
+    def _update_warm(sol):
+        """Refresh the persisted warm start from a successful QP; keep the
+        previous (possibly stale) one when the QP failed — its duals are
+        garbage, and a stale warm point still beats a cold one."""
+        w = persist.qp_warm
+        keep = sol.success
+        pick = lambda new, old: jnp.where(keep, new, old)
+        return QPWarm(
+            X=pick(sol.X, w.X), U=pick(sol.U, w.U),
+            lam=pick(sol.lam, w.lam), lam_f=pick(sol.lam_f, w.lam_f),
+            nu_dyn=pick(sol.nu_dyn, w.nu_dyn),
+            valid=keep | w.valid,
+        )
+
     if opts.recycle_eta:
         # --- dual-recycling RTI: K from persisted eta, one tightened QP ---
         K_r = backward_solve(
@@ -271,7 +341,9 @@ def fast_sls_solve(
         Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct = compute_response(
             K_r, persist.Phi_x, persist.Phi_u
         )
-        sol = forward(nboff, nboff_f)
+        sol = forward(
+            nboff, nboff_f, init=_warm_init() if opts.recycle_warm_qp else None
+        )
         y = pack_primal(sol.X, sol.U)
         conv = persist.have_prev & (
             jnp.max(jnp.abs(y - persist.prev_primal)) <= opts.conv_tol
@@ -290,6 +362,7 @@ def fast_sls_solve(
             prev_primal=y, have_prev=jnp.array(True),
             eta=eta_n, eta_f=eta_f_n, K=K_r,
             Phi_x=Phi_x, Phi_u=Phi_u, cost_tube=ct,
+            qp_warm=_update_warm(sol),
         )
         return FastSLSSolution(
             X=sol.X, U=sol.U, y=y, lam=sol.lam, lam_f=sol.lam_f,
@@ -451,6 +524,7 @@ def fast_sls_solve(
         Phi_x=carry.Phi_x,
         Phi_u=carry.Phi_u,
         cost_tube=carry.cost_tube,
+        qp_warm=_update_warm(carry.sol),
     )
 
     return FastSLSSolution(

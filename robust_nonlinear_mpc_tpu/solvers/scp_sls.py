@@ -61,6 +61,8 @@ class SCPSLSOptions(NamedTuple):
     # RTI (one QP per warm step, eta persisted across steps)
     streaming_response: bool = False
     recycle_eta: bool = False
+    # warm-start the recycle-mode QP from the previous step's QP solution
+    recycle_warm_qp: bool = False
     # looser IPM for the untightened first QP of each RTI iteration
     # (duals-only consumer); None = use `ipm` for both
     ipm_first: IPMOptions | None = None
@@ -175,6 +177,7 @@ class SCPSLSSolver:
             epsilon_backoff=self.opts.epsilon_backoff,
             streaming_response=self.opts.streaming_response,
             recycle_eta=self.opts.recycle_eta,
+            recycle_warm_qp=self.opts.recycle_warm_qp,
             ipm=self.opts.ipm,
             ipm_first=self.opts.ipm_first,
         )

@@ -254,6 +254,40 @@ def test_fast_sls_recycle_eta_mode():
     assert np.all(ratio > 0.5) and np.all(ratio < 2.0)
 
 
+def test_fast_sls_recycle_warm_qp_matches_cold():
+    """recycle_warm_qp: the IPM seeded from the previous solve's QP solution
+    converges to the SAME optimum (the QP is strictly convex — warm starting
+    changes iteration counts, never the solution) in no more iterations."""
+    x0 = np.array([3.0, 0.5])
+    prob, A, B, c, qx, qu, g_res, gf_res, N, nx, nu, nw = _double_integrator_problem()
+    dtype = jnp.zeros(0).dtype
+    ipm = IPMOptions(max_iter=50, tol=1e-10)
+    opts_cold = FastSLSOptions(rti_steps=1, ipm=ipm, recycle_eta=True)
+    opts_warm = opts_cold._replace(recycle_warm_qp=True)
+    f = jax.jit(fast_sls_solve, static_argnums=(10,))
+
+    pc = FastSLSPersist.init(N, nx, nu, 6, 4, nw, dtype)
+    pw = FastSLSPersist.init(N, nx, nu, 6, 4, nw, dtype)
+    total_cold = total_warm = 0
+    for i in range(5):
+        sc = f(prob, A, B, c, qx, qu, g_res, gf_res, jnp.asarray(x0), pc, opts_cold)
+        sw = f(prob, A, B, c, qx, qu, g_res, gf_res, jnp.asarray(x0), pw, opts_warm)
+        assert bool(sc.success) and bool(sw.success)
+        np.testing.assert_allclose(np.asarray(sw.X), np.asarray(sc.X), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(sw.U), np.asarray(sc.U), atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(sw.backoff), np.asarray(sc.backoff), atol=1e-8
+        )
+        pc, pw = sc.persist, sw.persist
+        total_cold += int(sc.qp_iters)
+        total_warm += int(sw.qp_iters)
+        # the warm start is persisted and marked valid after the first solve
+        assert bool(sw.persist.qp_warm.valid)
+    # repeated solves of the same problem are the best case for a warm
+    # start: after the first solve it must save iterations overall
+    assert total_warm < total_cold
+
+
 def test_fast_sls_condensed_kkt_matches():
     """fast-SLS with the condensed (scan-free) IPM Newton solver, sharing
     one per-solve condense() across its forward QPs, matches the Riccati
