@@ -141,6 +141,74 @@ def backward_solve(A, B, Gmat, Gf, eta, eta_f, regs: SLSRegs):
     return S, K
 
 
+def backward_solve_folded(A, B, Gmat, Gf, eta, eta_f, regs: SLSRegs):
+    """`backward_solve` restructured so every large product is a single GEMM.
+
+    Same inputs/outputs as `backward_solve` (exact up to FP reassociation).
+    The vmap-over-columns form issues ~10 independent (nx, nx)-sized matmuls
+    per column per stage — at nx = 17 each uses a sliver of the 128x128 MXU.
+    Here one scan over stages carries ALL columns' value matrices S (J, nx, nx)
+    and folds the column axis into the GEMM M/N dimension (J*nx = 272 for the
+    reference shapes), exploiting:
+      * curvature assembly as a Gram-tensor contraction:
+        C_j = sum_r eta[k,j,r] (g_r g_r') + reg  ->  (J, ni) @ (ni, nx*nx)
+      * S_j symmetric:  A'S_jA = (S_jA)'A  and  B'S_jA = (S_jB)'A, so the
+        shared operand (A, B) always sits on the plain side of the dot and
+        the batched side flattens to (J*nx, nx) / (J*nu, nx) row stacks.
+    The only remaining batched-small ops are the rank-nu correction F'K and
+    the closed-form (nu, nu) SPD solve.
+    """
+    N, nx = A.shape[0], A.shape[1]
+    nu = B.shape[2]
+    J = N + 1
+    tp = tube_prec()
+    Gx = Gmat[:, :nx]
+    Gu = Gmat[:, nx:]
+    ni = Gx.shape[0]
+
+    # NOTE: pairwise-concatenating the shared-RHS GEMMs (Cxx|Cuu, S[A|B],
+    # SBt[B|A]) to cut dispatch count was measured and REJECTED: 13.6k ->
+    # 11.2k solves/s end-to-end — the per-step concats and strided output
+    # splits cost more than the saved dispatches.
+    GGx = (Gx[:, :, None] * Gx[:, None, :]).reshape(ni, nx * nx)
+    GGu = (Gu[:, :, None] * Gu[:, None, :]).reshape(ni, nu * nu)
+    GGf = (Gf[:, :, None] * Gf[:, None, :]).reshape(Gf.shape[0], nx * nx)
+
+    SN = jnp.matmul(eta_f, GGf, precision=tp).reshape(J, nx, nx) + regs.Q_reg_f
+    SN = sym(SN)
+    # eta[k] per stage with the (empty) terminal column appended: (N, J, ni)
+    eta_pad = jnp.concatenate([eta, jnp.zeros((N, 1, ni), eta.dtype)], axis=1)
+
+    js = jnp.arange(J)
+
+    def step(S_all, inp):
+        k, A_k, B_k, eta_k = inp  # eta_k (J, ni)
+        Cxx = jnp.matmul(eta_k, GGx, precision=tp).reshape(J, nx, nx) + regs.Q_reg
+        Cuu = jnp.matmul(eta_k, GGu, precision=tp).reshape(J, nu, nu) + regs.R_reg
+        S_flat = S_all.reshape(J * nx, nx)
+        SA = jnp.matmul(S_flat, A_k, precision=tp).reshape(J, nx, nx)  # S_j A
+        SB = jnp.matmul(S_flat, B_k, precision=tp).reshape(J, nx, nu)  # S_j B
+        SBt = jnp.swapaxes(SB, 1, 2).reshape(J * nu, nx)               # B'S_j rows
+        H = Cuu + jnp.matmul(SBt, B_k, precision=tp).reshape(J, nu, nu)
+        F = jnp.matmul(SBt, A_k, precision=tp).reshape(J, nu, nx)      # B'S_j A
+        K = -spd_solve_small(sym(H), F)
+        SAt = jnp.swapaxes(SA, 1, 2).reshape(J * nx, nx)
+        AtSA = jnp.matmul(SAt, A_k, precision=tp).reshape(J, nx, nx)   # A'S_j A
+        AtSBK = jnp.einsum("jua,jub->jab", F, K, precision=tp)         # F'K
+        S_new = sym(Cxx + AtSA + AtSBK)
+        active = (k >= js)[:, None, None]
+        S_carry = jnp.where(active, S_new, S_all)
+        S_out = jnp.where(active, S_new, jnp.zeros_like(S_new))
+        K_out = jnp.where(active, K, jnp.zeros_like(K))
+        return S_carry, (K_out, S_out)
+
+    _, (K_st, S_st) = lax.scan(
+        step, SN, (jnp.arange(N), A, B, eta_pad), reverse=True
+    )
+    S = jnp.concatenate([S_st, SN[None]], axis=0)  # (N+1, J, nx, nx)
+    return S, K_st
+
+
 # ----------------------------------------------------------------------
 # Phi propagation  (reference _propagate, fast_SLS_jit.py:87-117)
 # ----------------------------------------------------------------------
@@ -274,6 +342,72 @@ def response_streaming(A, B, E, K, Gx, Gu, Gf, regs: SLSRegs, epsilon):
     beta_f = jnp.maximum(jnp.sum(Zf * Zf, axis=-1), epsilon)   # (N+1, ni_f)
     backoff_f = jnp.sum(jnp.sqrt(beta_f), axis=0)
     qf = jnp.einsum("ab,jbw->jaw", regs.Q_reg_f, last, precision=tp)
+    cost_tube = jnp.sqrt(cost_acc + jnp.sum(qf * qf))
+    return beta, beta_f, backoff, backoff_f, cost_tube
+
+
+def response_streaming_folded(A, B, E, K, Gx, Gu, Gf, regs: SLSRegs, epsilon):
+    """`response_streaming` restructured so every large product is a single
+    GEMM (same inputs/outputs, exact up to FP reassociation).
+
+    The scan carries the current stage's response rows TRANSPOSED —
+    P (nx, J, nw) instead of (J, nx, nw) — so the shared-operand products
+    (Gx Phi, A_k Phi, Q_reg Phi, and their phi_u analogues) all flatten to
+    plain (·, nx) @ (nx, J*nw) GEMMs with a 272-wide trailing dimension for
+    the reference shapes, instead of J-batched (·, nx) @ (nx, nw) slivers.
+    Only phi_u = K_j Phi_j stays a genuinely batched small contraction (K
+    varies per column).
+    """
+    N, nx = A.shape[0], A.shape[1]
+    nw = E.shape[2]
+    J = N + 1
+    tp = tube_prec()
+    cols = jnp.arange(J)
+
+    def step(carry, inp):
+        P, cost_acc = carry  # P (nx, J, nw): Phi_x[k, :, :, :] transposed
+        k, A_k, B_k, K_k, E_k = inp
+        # inject this step's diagonal: Phi_x[k, k] = E[k]
+        P = jnp.where((cols == k)[None, :, None], E_k[:, None, :], P)
+        phi_u = jnp.einsum("jui,ijw->ujw", K_k, P, precision=tp)  # (nu, J, nw)
+        P_flat = P.reshape(nx, J * nw)
+        pu_flat = phi_u.reshape(-1, J * nw)
+        Z = jnp.matmul(Gx, P_flat, precision=tp) + jnp.matmul(
+            Gu, pu_flat, precision=tp
+        )                                                          # (ni, J*nw)
+        beta_all = jnp.sum(Z.reshape(-1, J, nw) ** 2, axis=-1)     # (ni, J)
+        beta_row = beta_all.T[:N]                                  # (N, ni)
+        tri = (cols[:N] <= k)[:, None]
+        beta_row = jnp.where(tri, jnp.maximum(beta_row, epsilon), 0.0)
+        backoff_row = jnp.sum(jnp.sqrt(beta_row), axis=0)          # (ni,)
+
+        qx = jnp.matmul(regs.Q_reg, P_flat, precision=tp)
+        ru = jnp.matmul(regs.R_reg, pu_flat, precision=tp)
+        cost_acc = cost_acc + jnp.sum(qx * qx) + jnp.sum(ru * ru)
+
+        nxt = jnp.matmul(A_k, P_flat, precision=tp) + jnp.matmul(
+            B_k, pu_flat, precision=tp
+        )
+        nxt = nxt.reshape(nx, J, nw)
+        nxt = jnp.where((cols <= k)[None, :, None], nxt, 0.0)
+        return (nxt, cost_acc), (beta_row, backoff_row)
+
+    init = (
+        jnp.zeros((nx, J, nw), dtype=A.dtype),
+        jnp.zeros((), dtype=A.dtype),
+    )
+    (last, cost_acc), (beta, backoff) = lax.scan(
+        step, init, (jnp.arange(N), A, B, K, E[:N])
+    )
+
+    last = jnp.where((cols == N)[None, :, None], E[N][:, None, :], last)
+    last_flat = last.reshape(nx, J * nw)
+    Zf = jnp.matmul(Gf, last_flat, precision=tp)
+    beta_f = jnp.maximum(
+        jnp.sum(Zf.reshape(-1, J, nw) ** 2, axis=-1), epsilon
+    ).T                                                            # (J, ni_f)
+    backoff_f = jnp.sum(jnp.sqrt(beta_f), axis=0)
+    qf = jnp.matmul(regs.Q_reg_f, last_flat, precision=tp)
     cost_tube = jnp.sqrt(cost_acc + jnp.sum(qf * qf))
     return beta, beta_f, backoff, backoff_f, cost_tube
 

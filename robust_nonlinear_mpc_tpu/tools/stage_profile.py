@@ -45,10 +45,11 @@ def main():
         make_rocket_problem,
     )
     from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions, QPData, solve_qp
+    # the GEMM-folded kernels are what the solver runs (solvers/fast_sls.py)
     from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
-        backward_solve,
+        backward_solve_folded as backward_solve,
         evaluate_dual_eta,
-        response_streaming,
+        response_streaming_folded as response_streaming,
     )
     from robust_nonlinear_mpc_tpu.utils.numerics import set_tube_precision
 

@@ -157,3 +157,39 @@ def test_tensor_matrix_roundtrip():
     np.testing.assert_allclose(np.asarray(t2), t)
     # block placement: block (i, j) of the matrix == t[i, j]
     np.testing.assert_allclose(np.asarray(m)[3:6, 2:4], t[1, 1])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_folded_kernels_match_vmapped(seed):
+    """The GEMM-folded kernels (column axis folded into the GEMM M/N dims,
+    curvatures from Gram tensors, shared operands on the plain dot side) must
+    reproduce the vmapped-column kernels to roundoff — they are pure
+    reformulations, not approximations."""
+    from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
+        backward_solve_folded,
+        response_streaming,
+        response_streaming_folded,
+    )
+
+    A, B, E, G, Gf, mu, mu_f, beta, beta_f, Qr, Rr, Qrf = _setup(seed)
+    eps = 1e-10
+    eta, eta_f = evaluate_dual_eta(
+        jnp.asarray(mu), jnp.asarray(mu_f), jnp.asarray(beta),
+        jnp.asarray(beta_f), eps,
+    )
+    regs = SLSRegs(jnp.asarray(Qr), jnp.asarray(Rr), jnp.asarray(Qrf))
+    args = (jnp.asarray(A), jnp.asarray(B), jnp.asarray(G), jnp.asarray(Gf),
+            eta, eta_f, regs)
+    S1, K1 = jax.jit(backward_solve)(*args)
+    S2, K2 = jax.jit(backward_solve_folded)(*args)
+    np.testing.assert_allclose(np.asarray(S2), np.asarray(S1), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(K2), np.asarray(K1), atol=1e-11)
+
+    nx = A.shape[1]
+    rargs = (jnp.asarray(A), jnp.asarray(B), jnp.asarray(E), K1,
+             jnp.asarray(G[:, :nx]), jnp.asarray(G[:, nx:]), jnp.asarray(Gf),
+             regs, eps)
+    r1 = jax.jit(response_streaming)(*rargs)
+    r2 = jax.jit(response_streaming_folded)(*rargs)
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-11)
