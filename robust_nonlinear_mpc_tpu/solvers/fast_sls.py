@@ -49,14 +49,39 @@ from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
     propagate,
     tube_cost,
 )
-# GEMM-folded kernels: exact reformulations of backward_solve /
-# response_streaming with the column axis folded into the GEMM dimensions
-# (bit-equal in exact arithmetic, tests/test_sls_kernels.py); measured 28%/24%
-# faster standalone on v5e at the rocket shapes.
+# Kernel selection. Default: the GEMM-folded kernels (column axis folded into
+# the GEMM dimensions; 28%/24% faster than vmap-over-columns on v5e).
+# RNM_SLS_BLOCK=<b> opts into the triangular column-blocked variants, which
+# additionally skip not-yet-active (exact-zero) column blocks by splitting the
+# stage scan into segments of b stages — ~30-40% less GEMM volume, measured
+# 11.4 -> 6.8 ms (backward) / 6.2 -> 3.7 ms (response) STANDALONE at the
+# rocket bench shapes (tools/kernel_bench.py, block=2, v5e f32).  They are
+# opt-in rather than default because the multi-segment scan structure, nested
+# inside the solver's SQP/SCP while_loops, blows up XLA:CPU compilation
+# (minutes-long compiles at block=2; an XLA:CPU segfault at block=8 on this
+# jaxlib) — standalone or shallowly-jitted use is fine on both backends.
+import functools
+import os
+
 from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
-    backward_solve_folded as backward_solve,
-    response_streaming_folded as response_streaming,
+    backward_solve_blocked,
+    backward_solve_folded,
+    response_streaming_blocked,
+    response_streaming_folded,
 )
+
+_SLS_BLOCK = int(os.environ.get("RNM_SLS_BLOCK", "0"))  # 0 = folded kernels
+
+if _SLS_BLOCK > 0:
+    backward_solve = functools.partial(
+        backward_solve_blocked, block=_SLS_BLOCK
+    )
+    response_streaming = functools.partial(
+        response_streaming_blocked, block=_SLS_BLOCK
+    )
+else:
+    backward_solve = backward_solve_folded
+    response_streaming = response_streaming_folded
 
 
 class SLSProblem(NamedTuple):

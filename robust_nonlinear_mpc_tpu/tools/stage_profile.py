@@ -45,11 +45,11 @@ def main():
         make_rocket_problem,
     )
     from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions, QPData, solve_qp
-    # the GEMM-folded kernels are what the solver runs (solvers/fast_sls.py)
-    from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
-        backward_solve_folded as backward_solve,
-        evaluate_dual_eta,
-        response_streaming_folded as response_streaming,
+    # profile exactly the kernels the solver runs (solvers/fast_sls.py)
+    from robust_nonlinear_mpc_tpu.ops.sls_kernels import evaluate_dual_eta
+    from robust_nonlinear_mpc_tpu.solvers.fast_sls import (
+        backward_solve,
+        response_streaming,
     )
     from robust_nonlinear_mpc_tpu.utils.numerics import set_tube_precision
 

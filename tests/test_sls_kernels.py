@@ -193,3 +193,42 @@ def test_folded_kernels_match_vmapped(seed):
     r2 = jax.jit(response_streaming_folded)(*rargs)
     for a, b in zip(r1, r2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-11)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("block", [2, 3, 4, 8, 32])
+def test_blocked_kernels_match_folded(seed, block):
+    """The triangular column-blocked kernels (segments of `block` stages,
+    carrying only potentially-active column blocks) must reproduce the folded
+    kernels to roundoff — they skip only exact-zero columns. Covers block
+    sizes that divide N, don't divide N, and exceed N (degenerate single
+    segment)."""
+    from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
+        backward_solve_blocked,
+        backward_solve_folded,
+        response_streaming_blocked,
+        response_streaming_folded,
+    )
+
+    A, B, E, G, Gf, mu, mu_f, beta, beta_f, Qr, Rr, Qrf = _setup(seed)
+    eps = 1e-10
+    eta, eta_f = evaluate_dual_eta(
+        jnp.asarray(mu), jnp.asarray(mu_f), jnp.asarray(beta),
+        jnp.asarray(beta_f), eps,
+    )
+    regs = SLSRegs(jnp.asarray(Qr), jnp.asarray(Rr), jnp.asarray(Qrf))
+    args = (jnp.asarray(A), jnp.asarray(B), jnp.asarray(G), jnp.asarray(Gf),
+            eta, eta_f, regs)
+    S1, K1 = jax.jit(backward_solve_folded)(*args)
+    S2, K2 = jax.jit(lambda *a: backward_solve_blocked(*a, block=block))(*args)
+    np.testing.assert_allclose(np.asarray(S2), np.asarray(S1), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(K2), np.asarray(K1), atol=1e-11)
+
+    nx = A.shape[1]
+    rargs = (jnp.asarray(A), jnp.asarray(B), jnp.asarray(E), K1,
+             jnp.asarray(G[:, :nx]), jnp.asarray(G[:, nx:]), jnp.asarray(Gf),
+             regs, eps)
+    r1 = jax.jit(response_streaming_folded)(*rargs)
+    r2 = jax.jit(lambda *a: response_streaming_blocked(*a, block=block))(*rargs)
+    for a, b in zip(r1, r2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-11)
