@@ -41,6 +41,14 @@ def main():
         pass
     import jax.numpy as jnp
 
+    # Triangular column-blocked SLS kernels (block=2): +20% end-to-end on v5e
+    # (12.5k vs 10.5k solves/s) and compiles fine on the TPU backend. Kept off
+    # on CPU, where the multi-segment scan structure blows up XLA:CPU compile
+    # times (see solvers/fast_sls.py). Must be set before the solver import —
+    # the kernel choice is read at module import. RNM_SLS_BLOCK=0 reverts.
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", "").lower():
+        os.environ.setdefault("RNM_SLS_BLOCK", "2")
+
     from robust_nonlinear_mpc_tpu.expe.main_rocket_robust_closed_loop import (
         X0,
         make_rocket_problem,
