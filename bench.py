@@ -112,7 +112,10 @@ def main():
     )
 
     N = solver.N
-    B = int(jax_env_int("RNM_BENCH_BATCH", 256))
+    # B=512 is the per-chip throughput peak with the column-blocked SLS
+    # kernels (18.9k vs 18.2k steady-state solves/s at B=256 on v5e;
+    # B=768 17.6k, B=1024 16.4k). B=256 was the peak for the folded kernels.
+    B = int(jax_env_int("RNM_BENCH_BATCH", 512))
     n_rep = int(jax_env_int("RNM_BENCH_REPS", 10))
 
     # warm-state ensemble: perturbed hover trajectories + perturbed x0
