@@ -168,14 +168,24 @@ def _max_abs(*arrs):
 # ----------------------------------------------------------------------
 # Riccati factorization (once per IPM iteration)
 # ----------------------------------------------------------------------
-def _factorize(stat: QPStatics, data: QPData, W, W_f):
-    """Backward Riccati factorization of the reduced (equality-only) KKT system.
+def _factorize_with_presolve(stat: QPStatics, data: QPData, W, W_f,
+                             rbx, rbxN, rbu, req):
+    """Backward Riccati factorization of the reduced (equality-only) KKT
+    system (W = lam/s; stage Hessians after eliminating (dlam, ds):
+    Cxx_k = Hx + Gx' W_k Gx, Cuu_k = Hu + Gu' W_k Gu, Cxu_k = Gx' W_k Gu),
+    fused with the backward sweep of the first (predictor) Newton solve:
+    the predictor rhs is available before the factorization, so ONE reverse
+    scan produces both the per-stage factors and the predictor feedforward
+    terms — one fewer sequential scan per IPM
+    iteration than factorize-then-backward-solve, and the factors are
+    consumed while still live instead of round-tripping through HBM. The
+    gain solve (nx rhs columns) and the feedforward solve (1 rhs column)
+    share a single blockwise-Schur SPD solve on a concatenated rhs.
 
-    W = lam/s (N, ni). Stage Hessians after eliminating (dlam, ds):
-        Cxx_k = Hx + Gx' W_k Gx,  Cuu_k = Hu + Gu' W_k Gu,  Cxu_k = Gx' W_k Gu.
-    Returns per-stage gains and factors for fast affine re-solves.
+    Returns (fact, (kff, p_next_seq)); `fact` feeds `_solve_newton` for the
+    corrector re-solve, (kff, p_next_seq) feed `_forward_sweep`.
     """
-    Gx, Gu, Gf = stat.Gx, stat.Gu, stat.Gf   # per-stage (N, ., .)
+    Gx, Gu, Gf = stat.Gx, stat.Gu, stat.Gf
     hp = lax.Precision.HIGHEST
     WGx = W[:, :, None] * Gx
     WGu = W[:, :, None] * Gu
@@ -183,51 +193,40 @@ def _factorize(stat: QPStatics, data: QPData, W, W_f):
     Cuu = stat.Hu + jnp.einsum("kru,krv->kuv", Gu, WGu, precision=hp)
     Cxu = jnp.einsum("kri,krv->kiv", Gx, WGu, precision=hp)
     PN = stat.HxN + Gf.T @ (W_f[:, None] * Gf)
+    nx = req.shape[1]
 
-    def bwd(P_next, blocks):
-        A, B, Cxx_k, Cuu_k, Cxu_k = blocks
-        PA = mm(P_next, A)          # (nx, nx)
-        PB = mm(P_next, B)          # (nx, nu)
+    def bwd(carry, blocks):
+        P_next, p_next = carry
+        A, B, Cxx_k, Cuu_k, Cxu_k, rbx_k, rbu_k, req_k = blocks
+        PA = mm(P_next, A)
+        PB = mm(P_next, B)
         Fxx = Cxx_k + mm(A.T, PA)
         Fuu = Cuu_k + mm(B.T, PB)
         Fxu = Cxu_k + mm(A.T, PB)
-        # SPD solve of Fuu (PD: Hu = 2R > 0); small-block closed form +
-        # refinement beats TPU batched cholesky/triangular solves
         n_u = Fuu.shape[0]
         Fuu_r = sym(Fuu) + jnp.trace(Fuu) * 1e-14 * jnp.eye(n_u, dtype=Fuu.dtype)
-        K = -spd_solve_refined(Fuu_r, Fxu.T)   # (nu, nx)
-        P = sym(Fxx + mm(Fxu, K))
-        return P, (K, Fuu_r, Fxu, P_next)
-
-    blocks = (data.A, data.B, Cxx, Cuu, Cxu)
-    _, (K, Fuu_seq, Fxu, P_next_seq) = lax.scan(bwd, PN, blocks, reverse=True)
-    # P_next_seq[k] = P_{k+1}
-    return K, Fuu_seq, Fxu, P_next_seq
-
-
-def _solve_newton(stat: QPStatics, data: QPData, fact, rbx, rbxN, rbu, req):
-    """Solve the reduced KKT system for one rhs using the cached factorization.
-
-    rbx: (N, nx) modified stationarity rhs for x_1..x_N-1 (row 0 unused),
-    rbxN: (nx,), rbu: (N, nu), req: (N, nx).
-    Returns dX (N+1, nx), dU (N, nu), dnu (N, nx).
-    """
-    K, Fuu_seq, Fxu, P_next_seq = fact
-    N = req.shape[0]
-    nx = req.shape[1]
-
-    rbx_full = jnp.concatenate([rbx, rbxN[None]], axis=0)  # rows 0..N (row 0 unused)
-
-    def bwd(p_next, per_k):
-        A, B, Fuu_k, Fxu_k, Pn, rbx_k, rbu_k, req_k = per_k
-        w = p_next + mm(Pn, req_k[:, None])[:, 0]
+        w = p_next + mm(P_next, req_k[:, None])[:, 0]
         f_u = rbu_k + B.T @ w
-        kff = -spd_solve_refined(Fuu_k, f_u[:, None])[:, 0]
-        p = rbx_k + A.T @ w + Fxu_k @ kff
-        return p, (kff, p_next)
+        sol = -spd_solve_refined(
+            Fuu_r, jnp.concatenate([Fxu.T, f_u[:, None]], axis=1)
+        )
+        K = sol[:, :nx]
+        kff = sol[:, nx]
+        P = sym(Fxx + mm(Fxu, K))
+        p = rbx_k + A.T @ w + Fxu @ kff
+        return (P, p), (K, Fuu_r, Fxu, P_next, kff, p_next)
 
-    per_k = (data.A, data.B, Fuu_seq, Fxu, P_next_seq, rbx_full[:N], rbu, req)
-    _, (kff, p_next_seq) = lax.scan(bwd, rbxN, per_k, reverse=True)
+    blocks = (data.A, data.B, Cxx, Cuu, Cxu, rbx, rbu, req)
+    _, (K, Fuu_seq, Fxu_seq, P_next_seq, kff, p_next_seq) = lax.scan(
+        bwd, (PN, rbxN), blocks, reverse=True
+    )
+    return (K, Fuu_seq, Fxu_seq, P_next_seq), (kff, p_next_seq)
+
+
+def _forward_sweep(data: QPData, K, kff, req, P_next_seq, p_next_seq):
+    """Forward sweep of the Riccati Newton solve: roll dx through the
+    dynamics under du = K dx + kff and recover the dynamics multipliers."""
+    nx = req.shape[1]
 
     def fwd(dx, per_k):
         A, B, K_k, kff_k, req_k, Pn, p_next = per_k
@@ -240,6 +239,28 @@ def _solve_newton(stat: QPStatics, data: QPData, fact, rbx, rbxN, rbu, req):
     dxN, (dX_head, dU, dnu) = lax.scan(fwd, jnp.zeros(nx, dtype=req.dtype), per_k_f)
     dX = jnp.concatenate([dX_head, dxN[None]], axis=0)
     return dX, dU, dnu
+
+
+def _solve_newton(stat: QPStatics, data: QPData, fact, rbx, rbxN, rbu, req):
+    """Solve the reduced KKT system for one rhs using the cached factorization.
+
+    rbx: (N, nx) modified stationarity rhs for x_1..x_N-1 (row 0 unused),
+    rbxN: (nx,), rbu: (N, nu), req: (N, nx).
+    Returns dX (N+1, nx), dU (N, nu), dnu (N, nx).
+    """
+    K, Fuu_seq, Fxu, P_next_seq = fact
+
+    def bwd(p_next, per_k):
+        A, B, Fuu_k, Fxu_k, Pn, rbx_k, rbu_k, req_k = per_k
+        w = p_next + mm(Pn, req_k[:, None])[:, 0]
+        f_u = rbu_k + B.T @ w
+        kff = -spd_solve_refined(Fuu_k, f_u[:, None])[:, 0]
+        p = rbx_k + A.T @ w + Fxu_k @ kff
+        return p, (kff, p_next)
+
+    per_k = (data.A, data.B, Fuu_seq, Fxu, P_next_seq, rbx, rbu, req)
+    _, (kff, p_next_seq) = lax.scan(bwd, rbxN, per_k, reverse=True)
+    return _forward_sweep(data, K, kff, req, P_next_seq, p_next_seq)
 
 
 # ----------------------------------------------------------------------
@@ -472,11 +493,12 @@ def solve_qp(
     # one that stays meaningful for rho ~ 1e6 soft-penalty problems)
     scale_p = 1.0 + _max_abs(data.c, data.h, data.hf, data.xinit)
 
-    def kkt_residual(st):
-        X, U, lam, s, lam_f, s_f, nu_dyn = st
-        req, rineq, rineq_f, rx, rxN, ru = _residuals(
-            stat, data, X, U, lam, s, lam_f, s_f, nu_dyn
-        )
+    # Residual tensors are carried across iterations (invariant: R is
+    # _residuals at the carried iterate) — the end-of-iteration convergence
+    # check and the next iteration's rhs assembly share ONE _residuals
+    # evaluation instead of recomputing it at the same point twice.
+    def kkt_scalar(R, lam, lam_f, s, s_f):
+        req, rineq, rineq_f, rx, rxN, ru = R
         gap = (jnp.sum(lam * s) + jnp.sum(lam_f * s_f)) / n_comp
         scale_d = 1.0 + _max_abs(data.qx, data.qu, lam, lam_f)
         res_p = _max_abs(req, rineq, rineq_f) / scale_p
@@ -484,23 +506,13 @@ def solve_qp(
         return jnp.maximum(jnp.maximum(res_p, res_d), gap / scale_d)
 
     def body(carry):
-        X, U, lam, s, lam_f, s_f, nu_dyn, it, done = carry
+        X, U, lam, s, lam_f, s_f, nu_dyn, R, it, done = carry
 
-        req, rineq, rineq_f, rx, rxN, ru = _residuals(
-            stat, data, X, U, lam, s, lam_f, s_f, nu_dyn
-        )
+        req, rineq, rineq_f, rx, rxN, ru = R
         mu = (jnp.sum(lam * s) + jnp.sum(lam_f * s_f)) / n_comp
 
         W = lam / s
         W_f = lam_f / s_f
-        if opts.kkt == "condensed":
-            csolve, dnu_from = _condensed_newton(stat, pre, W, W_f, req)
-            nsolve = lambda rbx_, rbxN_, rbu_: csolve(rbx_, rbxN_, rbu_) + (None,)
-        else:
-            fact = _factorize(stat, data, W, W_f)
-            nsolve = lambda rbx_, rbxN_, rbu_: _solve_newton(
-                stat, data, fact, rbx_, rbxN_, rbu_, req
-            )
 
         def reduced_rhs(rcomp, rcomp_f):
             # rbar = r_stat + G'((lam*rineq - rcomp)/s); the Newton step solves
@@ -530,7 +542,24 @@ def solve_qp(
         rcomp_a = lam * s
         rcomp_af = lam_f * s_f
         rbx, rbxN, rbu = reduced_rhs(rcomp_a, rcomp_af)
-        dXa, dUa, _ = nsolve(rbx, rbxN, rbu)
+        if opts.kkt == "condensed":
+            csolve, dnu_from = _condensed_newton(stat, pre, W, W_f, req)
+            nsolve = lambda rbx_, rbxN_, rbu_: csolve(rbx_, rbxN_, rbu_) + (None,)
+            dXa, dUa, _ = nsolve(rbx, rbxN, rbu)
+        else:
+            # predictor rhs is known before the factorization: fuse the
+            # factorization scan with the predictor backward sweep
+            fact, pre_bwd = _factorize_with_presolve(
+                stat, data, W, W_f, rbx, rbxN, rbu, req
+            )
+            K_g, _, _, P_next_seq = fact
+            kff_a, p_next_a = pre_bwd
+            dXa, dUa, _ = _forward_sweep(
+                data, K_g, kff_a, req, P_next_seq, p_next_a
+            )
+            nsolve = lambda rbx_, rbxN_, rbu_: _solve_newton(
+                stat, data, fact, rbx_, rbxN_, rbu_, req
+            )
         dsa, dlama, dsfa, dlamfa = recover(dXa, dUa, rcomp_a, rcomp_af)
 
         alpha_p_a = jnp.minimum(
@@ -575,7 +604,8 @@ def solve_qp(
         X_n, U_n, s_n, sf_n = sel(X_n, X), sel(U_n, U), sel(s_n, s), sel(sf_n, s_f)
         lam_n, lamf_n, nu_n = sel(lam_n, lam), sel(lamf_n, lam_f), sel(nu_n, nu_dyn)
 
-        res_n = kkt_residual((X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n))
+        R_n = _residuals(stat, data, X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n)
+        res_n = kkt_scalar(R_n, lam_n, lamf_n, s_n, sf_n)
 
         # numerical safeguards (critical on the f32 TPU path):
         #  * if the step produced non-finite values, revert to the previous
@@ -586,7 +616,8 @@ def solve_qp(
         rev = lambda new, old: jnp.where(bad, old, new)
         X_n, U_n, s_n, sf_n = rev(X_n, X), rev(U_n, U), rev(s_n, s), rev(sf_n, s_f)
         lam_n, lamf_n, nu_n = rev(lam_n, lam), rev(lamf_n, lam_f), rev(nu_n, nu_dyn)
-        res_n = jnp.where(bad, kkt_residual((X, U, lam, s, lam_f, s_f, nu_dyn)), res_n)
+        R_n = tuple(rev(rn, ro) for rn, ro in zip(R_n, R))
+        res_n = jnp.where(bad, kkt_scalar(R, lam, lam_f, s, s_f), res_n)
 
         eps_mach = jnp.finfo(dtype).eps
         mu_n = (jnp.sum(lam_n * s_n) + jnp.sum(lamf_n * sf_n)) / n_comp
@@ -594,17 +625,20 @@ def solve_qp(
         at_floor = mu_n < 10.0 * eps_mach * scale_mu
 
         done_n = done | (res_n < opts.tol) | bad | at_floor
-        return (X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n, it + 1, done_n)
+        return (X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n, R_n, it + 1, done_n)
 
     def cond(carry):
         *_, it, done = carry
         return (~done) & (it < opts.max_iter)
 
-    init = (X0, U0, lam0, s0, lamf0, sf0, nu0, jnp.array(0, jnp.int32),
-            jnp.array(False))
-    X, U, lam, s, lam_f, s_f, nu_dyn, iters, done = lax.while_loop(cond, body, init)
+    R0 = _residuals(stat, data, X0, U0, lam0, s0, lamf0, sf0, nu0)
+    carry0 = (X0, U0, lam0, s0, lamf0, sf0, nu0, R0, jnp.array(0, jnp.int32),
+              jnp.array(False))
+    X, U, lam, s, lam_f, s_f, nu_dyn, R, iters, done = lax.while_loop(
+        cond, body, carry0
+    )
 
-    res = kkt_residual((X, U, lam, s, lam_f, s_f, nu_dyn))
+    res = kkt_scalar(R, lam, lam_f, s, s_f)
 
     # dual of the initial-condition pin, from stationarity at x_0
     # (consumers: SQP merit-penalty adaptation)
