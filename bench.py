@@ -79,6 +79,15 @@ def main():
             ipm=IPMOptions(max_iter=qp_iters, tol=qp_tol, kkt=kkt)
         )
         set_tube_precision("default")
+        # IPM Newton-direction matmul precision (residuals/termination stay
+        # HIGHEST either way — inexact directions only cost iterations):
+        # RNM_BENCH_QP_DIR_PREC=default probes single-pass bf16 MXU directions
+        from robust_nonlinear_mpc_tpu.utils.numerics import (
+            set_qp_direction_precision,
+        )
+        set_qp_direction_precision(
+            os.environ.get("RNM_BENCH_QP_DIR_PREC", "highest")
+        )
         # note: use_pallas_response=True is 1.75x faster standalone but
         # regresses the fused end-to-end program (XLA scheduling around the
         # custom call); measured off as the better default here

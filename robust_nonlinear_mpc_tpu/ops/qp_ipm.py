@@ -38,7 +38,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from robust_nonlinear_mpc_tpu.utils.numerics import mm, spd_solve_refined, sym
+from robust_nonlinear_mpc_tpu.utils.numerics import (
+    mm,
+    qp_dir_prec,
+    spd_solve_refined,
+    sym,
+)
 
 
 class QPStatics(NamedTuple):
@@ -186,26 +191,27 @@ def _factorize_with_presolve(stat: QPStatics, data: QPData, W, W_f,
     corrector re-solve, (kff, p_next_seq) feed `_forward_sweep`.
     """
     Gx, Gu, Gf = stat.Gx, stat.Gu, stat.Gf
-    hp = lax.Precision.HIGHEST
+    dp = qp_dir_prec()
+    dmm = lambda a, b: jnp.matmul(a, b, precision=dp)
     WGx = W[:, :, None] * Gx
     WGu = W[:, :, None] * Gu
-    Cxx = stat.Hx + jnp.einsum("kri,krj->kij", Gx, WGx, precision=hp)
-    Cuu = stat.Hu + jnp.einsum("kru,krv->kuv", Gu, WGu, precision=hp)
-    Cxu = jnp.einsum("kri,krv->kiv", Gx, WGu, precision=hp)
+    Cxx = stat.Hx + jnp.einsum("kri,krj->kij", Gx, WGx, precision=dp)
+    Cuu = stat.Hu + jnp.einsum("kru,krv->kuv", Gu, WGu, precision=dp)
+    Cxu = jnp.einsum("kri,krv->kiv", Gx, WGu, precision=dp)
     PN = stat.HxN + Gf.T @ (W_f[:, None] * Gf)
     nx = req.shape[1]
 
     def bwd(carry, blocks):
         P_next, p_next = carry
         A, B, Cxx_k, Cuu_k, Cxu_k, rbx_k, rbu_k, req_k = blocks
-        PA = mm(P_next, A)
-        PB = mm(P_next, B)
-        Fxx = Cxx_k + mm(A.T, PA)
-        Fuu = Cuu_k + mm(B.T, PB)
-        Fxu = Cxu_k + mm(A.T, PB)
+        PA = dmm(P_next, A)
+        PB = dmm(P_next, B)
+        Fxx = Cxx_k + dmm(A.T, PA)
+        Fuu = Cuu_k + dmm(B.T, PB)
+        Fxu = Cxu_k + dmm(A.T, PB)
         n_u = Fuu.shape[0]
         Fuu_r = sym(Fuu) + jnp.trace(Fuu) * 1e-14 * jnp.eye(n_u, dtype=Fuu.dtype)
-        w = p_next + mm(P_next, req_k[:, None])[:, 0]
+        w = p_next + dmm(P_next, req_k[:, None])[:, 0]
         f_u = rbu_k + B.T @ w
         sol = -spd_solve_refined(
             Fuu_r, jnp.concatenate([Fxu.T, f_u[:, None]], axis=1)
@@ -250,9 +256,11 @@ def _solve_newton(stat: QPStatics, data: QPData, fact, rbx, rbxN, rbu, req):
     """
     K, Fuu_seq, Fxu, P_next_seq = fact
 
+    dp = qp_dir_prec()
+
     def bwd(p_next, per_k):
         A, B, Fuu_k, Fxu_k, Pn, rbx_k, rbu_k, req_k = per_k
-        w = p_next + mm(Pn, req_k[:, None])[:, 0]
+        w = p_next + jnp.matmul(Pn, req_k[:, None], precision=dp)[:, 0]
         f_u = rbu_k + B.T @ w
         kff = -spd_solve_refined(Fuu_k, f_u[:, None])[:, 0]
         p = rbx_k + A.T @ w + Fxu_k @ kff
@@ -519,7 +527,7 @@ def solve_qp(
             # min 1/2 d'Cd + rbar'd  s.t.  dx+ = A dx + B du + req
             t = (lam * rineq - rcomp) / s                    # (N, ni)
             t_f = (lam_f * rineq_f - rcomp_f) / s_f          # (ni_f,)
-            hp = lax.Precision.HIGHEST
+            hp = qp_dir_prec()
             rbx = rx + jnp.einsum("kri,kr->ki", stat.Gx[1:N], t[1:N], precision=hp)
             rbx = jnp.concatenate([jnp.zeros((1, nx), dtype=dtype), rbx], axis=0)
             rbxN = rxN + stat.Gf.T @ t_f
@@ -527,7 +535,7 @@ def solve_qp(
             return rbx, rbxN, rbu
 
         def recover(dX, dU, rcomp, rcomp_f):
-            hp = lax.Precision.HIGHEST
+            hp = qp_dir_prec()
             dGz = jnp.einsum("kri,ki->kr", stat.Gx, dX[:N], precision=hp) + jnp.einsum(
                 "kru,ku->kr", stat.Gu, dU, precision=hp
             )

@@ -37,6 +37,30 @@ def prec():
     return _PREC
 
 
+_QP_DIR_PREC = jax.lax.Precision.HIGHEST
+
+
+def set_qp_direction_precision(mode: str) -> None:
+    """Set the matmul precision of the IPM *direction* computation (Riccati
+    factorization + Newton back/forward sweeps + rhs assembly).
+
+    The IPM's convergence test and residuals always run at HIGHEST, so an
+    inexact Newton direction can only cost iterations, never correctness —
+    "default" trades MXU passes (bf16 single-pass vs 3-pass f32) against
+    possible extra Mehrotra iterations. Takes effect at the next trace.
+    """
+    global _QP_DIR_PREC
+    _QP_DIR_PREC = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[mode]
+
+
+def qp_dir_prec():
+    """Precision for the IPM Newton-direction matmuls (configurable)."""
+    return _QP_DIR_PREC
+
+
 def tube_prec():
     """Precision for the SLS tube-synthesis matmuls (configurable)."""
     return _TUBE_PREC
