@@ -41,14 +41,6 @@ def main():
         pass
     import jax.numpy as jnp
 
-    # Triangular column-blocked SLS kernels (block=2): +20% end-to-end on v5e
-    # (12.5k vs 10.5k solves/s) and compiles fine on the TPU backend. Kept off
-    # on CPU, where the multi-segment scan structure blows up XLA:CPU compile
-    # times (see solvers/fast_sls.py). Must be set before the solver import —
-    # the kernel choice is read at module import. RNM_SLS_BLOCK=0 reverts.
-    if "cpu" not in os.environ.get("JAX_PLATFORMS", "").lower():
-        os.environ.setdefault("RNM_SLS_BLOCK", "2")
-
     from robust_nonlinear_mpc_tpu.expe.main_rocket_robust_closed_loop import (
         X0,
         make_rocket_problem,
@@ -69,6 +61,13 @@ def main():
     # honored on both the f32 (TPU) and f64 (CPU) paths
     kkt = os.environ.get("RNM_BENCH_KKT", "riccati")
     solver.opts = solver.opts._replace(ipm=solver.opts.ipm._replace(kkt=kkt))
+    # Triangular column-blocked SLS kernels (block=2): +20% end-to-end on v5e
+    # (12.5k vs 10.5k solves/s) and compiles fine on the TPU backend. Off on
+    # CPU, where the multi-segment scan structure blows up XLA:CPU compile
+    # times (solvers/fast_sls.py). RNM_SLS_BLOCK overrides (0 reverts).
+    on_cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+    sls_block = int(os.environ.get("RNM_SLS_BLOCK", "0" if on_cpu else "2"))
+    solver.opts = solver.opts._replace(sls_block=sls_block)
     if dtype == jnp.float32:
         # f32 throughput path: f32-achievable tolerances; the untightened
         # first QP (duals-only consumer) runs at reduced accuracy, and the
@@ -173,6 +172,9 @@ def main():
     # ms vs the 50 ms budget.
     lat_ms = float("nan")
     if jax_env_int("RNM_BENCH_LATENCY", 0):
+        # measured: kernel choice is irrelevant at B=1 (blocked 35.1 ms vs
+        # folded 35.4 ms — dispatch-bound, variance dominates), so the probe
+        # uses the same options as the throughput program
         single = jax.jit(mpc_step)
         Xi, Ui, Pi, _, _ = single(Xs[0], Us[0], x0s[0], persist)
         jax.block_until_ready(Xi)

@@ -72,16 +72,26 @@ from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
 
 _SLS_BLOCK = int(os.environ.get("RNM_SLS_BLOCK", "0"))  # 0 = folded kernels
 
-if _SLS_BLOCK > 0:
-    backward_solve = functools.partial(
-        backward_solve_blocked, block=_SLS_BLOCK
-    )
-    response_streaming = functools.partial(
-        response_streaming_blocked, block=_SLS_BLOCK
-    )
-else:
-    backward_solve = backward_solve_folded
-    response_streaming = response_streaming_folded
+
+def select_sls_kernels(block: int):
+    """(backward_solve, response_streaming) for a column-block size.
+
+    block = 0: the GEMM-folded kernels (the safe default on every backend).
+    block > 0: the triangular column-blocked variants with stage segments of
+    `block` — see the caveat above before using them anywhere XLA:CPU
+    compiles deeply nested programs.
+    """
+    if block > 0:
+        return (
+            functools.partial(backward_solve_blocked, block=block),
+            functools.partial(response_streaming_blocked, block=block),
+        )
+    return backward_solve_folded, response_streaming_folded
+
+
+# module-level bindings (env default) for tools/tests that time "what the
+# solver runs by default"; the solver itself selects per FastSLSOptions
+backward_solve, response_streaming = select_sls_kernels(_SLS_BLOCK)
 
 
 class SLSProblem(NamedTuple):
@@ -138,6 +148,11 @@ class FastSLSOptions(NamedTuple):
     # the control); only its duals feed eta -> backoffs, which tolerate
     # reduced accuracy. None = use `ipm` for both (the parity default).
     ipm_first: IPMOptions | None = None
+    # SLS kernel column-block size (see select_sls_kernels): 0 = GEMM-folded
+    # kernels; >0 = triangular column-blocked variants (+20% end-to-end on
+    # v5e at block=2, but they blow up XLA:CPU compilation in deeply nested
+    # programs — TPU throughput paths only). Default honors RNM_SLS_BLOCK.
+    sls_block: int = _SLS_BLOCK
 
 
 class QPWarm(NamedTuple):
@@ -274,6 +289,7 @@ def fast_sls_solve(
     eps = opts.epsilon_backoff
 
     Gmat = jnp.concatenate([prob.stat.Gx, prob.stat.Gu], axis=1)
+    bwd_solve, resp_streaming = select_sls_kernels(opts.sls_block)
 
     beta, beta_f, backoff, backoff_f = _init_tube(N, ni, ni_f, nx, nu, eps, dtype)
     applied_backoff = jnp.zeros((N, ni), dtype=dtype)
@@ -314,7 +330,7 @@ def fast_sls_solve(
             nboff, nboff_f = nboff.astype(dtype), nboff_f.astype(dtype)
             ct = ct.astype(dtype)
         elif opts.streaming_response:
-            nbeta, nbeta_f, nboff, nboff_f, ct = response_streaming(
+            nbeta, nbeta_f, nboff, nboff_f, ct = resp_streaming(
                 A, B, prob.E, K,
                 prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, prob.regs, eps,
             )
@@ -366,7 +382,7 @@ def fast_sls_solve(
 
     if opts.recycle_eta:
         # --- dual-recycling RTI: K from persisted eta, one tightened QP ---
-        K_r = backward_solve(
+        K_r = bwd_solve(
             A, B, Gmat, prob.stat.Gf, persist.eta, persist.eta_f, prob.regs
         )[1]
         Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct = compute_response(
@@ -466,7 +482,7 @@ def fast_sls_solve(
         """eta -> backward Riccati -> propagate -> backoffs -> retighten."""
         sol = carry.sol
         eta, eta_f = evaluate_dual_eta(sol.lam, sol.lam_f, carry.beta, carry.beta_f, eps)
-        _, K = backward_solve(A, B, Gmat, prob.stat.Gf, eta, eta_f, prob.regs)
+        _, K = bwd_solve(A, B, Gmat, prob.stat.Gf, eta, eta_f, prob.regs)
         Phi_x, Phi_u, nbeta, nbeta_f, nboff, nboff_f, ct = compute_response(
             K, carry.Phi_x, carry.Phi_u
         )

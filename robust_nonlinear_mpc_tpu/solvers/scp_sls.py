@@ -38,6 +38,7 @@ from robust_nonlinear_mpc_tpu.ops.packing import pack_primal
 from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions, QPStatics
 from robust_nonlinear_mpc_tpu.ops.sls_kernels import SLSRegs
 from robust_nonlinear_mpc_tpu.solvers.fast_sls import (
+    _SLS_BLOCK,
     FastSLSOptions,
     FastSLSPersist,
     SLSProblem,
@@ -66,6 +67,10 @@ class SCPSLSOptions(NamedTuple):
     # looser IPM for the untightened first QP of each RTI iteration
     # (duals-only consumer); None = use `ipm` for both
     ipm_first: IPMOptions | None = None
+    # SLS kernel column-block size (fast_sls.select_sls_kernels): 0 = folded
+    # (safe everywhere); >0 = triangular column-blocked (TPU throughput
+    # only). Default honors the RNM_SLS_BLOCK env knob, like FastSLSOptions.
+    sls_block: int = _SLS_BLOCK
     sqp: SQPOptions = SQPOptions()
     refine_on_convergence: bool = False
     verbose: bool = False
@@ -180,6 +185,7 @@ class SCPSLSSolver:
             recycle_warm_qp=self.opts.recycle_warm_qp,
             ipm=self.opts.ipm,
             ipm_first=self.opts.ipm_first,
+            sls_block=self.opts.sls_block,
         )
 
     # ------------------------------------------------------------------
