@@ -65,7 +65,7 @@ def main():
     # (12.5k vs 10.5k solves/s) and compiles fine on the TPU backend. Off on
     # CPU, where the multi-segment scan structure blows up XLA:CPU compile
     # times (solvers/fast_sls.py). RNM_SLS_BLOCK overrides (0 reverts).
-    on_cpu = "cpu" in os.environ.get("JAX_PLATFORMS", "").lower()
+    on_cpu = dev.platform == "cpu"
     sls_block = int(os.environ.get("RNM_SLS_BLOCK", "0" if on_cpu else "2"))
     solver.opts = solver.opts._replace(sls_block=sls_block)
     if dtype == jnp.float32:

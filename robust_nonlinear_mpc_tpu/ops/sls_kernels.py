@@ -222,6 +222,12 @@ def backward_solve_blocked(A, B, Gmat, Gf, eta, eta_f, regs: SLSRegs, block=8):
     volume ((7*15 + 8*8) / (15*16) column-stages); block = 4 removes ~41%.
     Per-column arithmetic is identical to `backward_solve_folded` — only
     all-zero columns are skipped — so results match to roundoff.
+
+    NOTE: the step body deliberately duplicates `backward_solve_folded`'s
+    (the folded kernel stays a separate, mask-free implementation because it
+    is the XLA:CPU-safe default — unifying on the blocked form would
+    reintroduce the CPU compile blowup). Any fix to either step body must be
+    mirrored in the other; tests/test_sls_kernels.py pins their equality.
     """
     N, nx = A.shape[0], A.shape[1]
     nu = B.shape[2]
@@ -497,7 +503,11 @@ def response_streaming_blocked(A, B, E, K, Gx, Gu, Gf, regs: SLSRegs, epsilon,
     columns j < hi = min((s+1)*block, N) that can already be active there —
     the carry gains a zero column block at each segment boundary instead of
     multiplying not-yet-active zero columns through every GEMM. Same
-    outputs, per-column arithmetic identical to the folded kernel."""
+    outputs, per-column arithmetic identical to the folded kernel.
+
+    NOTE: deliberately duplicates `response_streaming_folded`'s step body
+    (see `backward_solve_blocked` for why the two stay separate); mirror any
+    fix in both — tests/test_sls_kernels.py pins their equality."""
     N, nx = A.shape[0], A.shape[1]
     nw = E.shape[2]
     J = N + 1

@@ -431,10 +431,13 @@ class SCPSLSSolver:
         from robust_nonlinear_mpc_tpu.ops.qp_ipm import QPData, solve_qp
         from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
             backoff_from_phi,
-            backward_solve,
             evaluate_dual_eta,
             propagate,
         )
+        from robust_nonlinear_mpc_tpu.solvers.fast_sls import select_sls_kernels
+
+        # profile the same backward kernel solve() runs (sls_block option)
+        backward_solve, _ = select_sls_kernels(self.opts.sls_block)
 
         x0 = jnp.asarray(x0, self.dtype).reshape(-1)
         if self._X is None:

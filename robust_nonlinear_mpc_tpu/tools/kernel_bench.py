@@ -8,7 +8,10 @@ environment — restrict with RNM_KERNEL_VARIANTS).
 
 Run: python -m robust_nonlinear_mpc_tpu.tools.kernel_bench
 Env: RNM_BENCH_BATCH (256), RNM_BENCH_REPS (30),
-     RNM_KERNEL_VARIANTS (comma list, e.g. "bwd_folded,bwd_blocked8")
+     RNM_KERNEL_BLOCKS (comma list of block sizes, default "8,4"),
+     RNM_KERNEL_VARIANTS (comma list, e.g. "bwd_folded,bwd_blocked8";
+     unknown names raise; the response variants always cost one extra
+     backward compile to produce the shared K input)
 """
 
 from __future__ import annotations
@@ -78,15 +81,33 @@ def main():
             bwd(functools.partial(backward_solve_blocked, block=blk)),
             (A, Bm, eta, eta_f),
         )
-    K = variants["bwd_folded"][0](A, Bm, eta, eta_f)
-    jax.block_until_ready(K)
-    variants["resp_folded"] = (resp(response_streaming_folded), (A, Bm, E, K))
-    for blk in blocks:
-        variants[f"resp_blocked{blk}"] = (
-            resp(functools.partial(response_streaming_blocked, block=blk)),
-            (A, Bm, E, K),
+    need_resp = not only or any(n.startswith("resp_") for n in only)
+    if need_resp:
+        # shared K input for the response variants — produced by a backward
+        # variant that is already selected, so the restriction saves compiles
+        src = "bwd_folded"
+        sel_bwd = [n for n in sorted(only) if n.startswith("bwd_")]
+        if only and sel_bwd:
+            src = sel_bwd[0]
+        K = variants[src][0](A, Bm, eta, eta_f)
+        jax.block_until_ready(K)
+        variants["resp_folded"] = (
+            resp(response_streaming_folded), (A, Bm, E, K)
         )
+        for blk in blocks:
+            variants[f"resp_blocked{blk}"] = (
+                resp(functools.partial(response_streaming_blocked, block=blk)),
+                (A, Bm, E, K),
+            )
 
+    if only:
+        unknown = only - set(variants)
+        if unknown:
+            raise SystemExit(
+                f"RNM_KERNEL_VARIANTS: unknown {sorted(unknown)}; "
+                f"available: {sorted(variants)} (blocked sizes come from "
+                f"RNM_KERNEL_BLOCKS)"
+            )
     times = {}
     for name, (fn, args) in variants.items():
         if only and name not in only:

@@ -45,13 +45,16 @@ def main():
         make_rocket_problem,
     )
     from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions, QPData, solve_qp
-    # profile exactly the kernels the solver runs (solvers/fast_sls.py)
+    # profile exactly the kernels the bench runs: blocked (block=2) on TPU,
+    # folded on CPU, RNM_SLS_BLOCK overriding — the same policy as bench.py
     from robust_nonlinear_mpc_tpu.ops.sls_kernels import evaluate_dual_eta
-    from robust_nonlinear_mpc_tpu.solvers.fast_sls import (
-        backward_solve,
-        response_streaming,
-    )
+    from robust_nonlinear_mpc_tpu.solvers.fast_sls import select_sls_kernels
     from robust_nonlinear_mpc_tpu.utils.numerics import set_tube_precision
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    backward_solve, response_streaming = select_sls_kernels(
+        int(os.environ.get("RNM_SLS_BLOCK", "0" if on_cpu else "2"))
+    )
 
     dtype = jnp.zeros(0).dtype
     m, solver = make_rocket_problem(N=15)
