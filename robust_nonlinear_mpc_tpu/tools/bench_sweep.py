@@ -75,8 +75,14 @@ def bench_system(system: str, B: int, n_rep: int, recycle: bool, streaming: bool
             ipm_first=IPMOptions(max_iter=8, tol=1e-3),
         )
         set_tube_precision("default")
+    import os
+
+    on_cpu = jax.devices()[0].platform == "cpu"
     solver.opts = solver.opts._replace(
-        streaming_response=streaming, recycle_eta=recycle
+        streaming_response=streaming, recycle_eta=recycle,
+        # same kernel policy as bench.py: column-blocked on TPU, folded on
+        # CPU (XLA:CPU compile blowup), RNM_SLS_BLOCK overriding
+        sls_block=int(os.environ.get("RNM_SLS_BLOCK", "0" if on_cpu else "2")),
     )
 
     rti = max(int(solver.opts.rti), 1)
