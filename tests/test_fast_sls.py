@@ -308,3 +308,38 @@ def test_fast_sls_condensed_kkt_matches():
     np.testing.assert_allclose(
         np.asarray(s2.backoff), np.asarray(s1.backoff), atol=1e-9
     )
+
+
+def test_sls_block_option_matches_folded():
+    """FastSLSOptions.sls_block plumbs the triangular column-blocked kernels
+    into the solve; results must match the folded default to roundoff
+    amplification (the kernels themselves are roundoff-equal,
+    tests/test_sls_kernels.py). Shallow single-solve program only — the
+    blocked variants are not XLA:CPU-safe inside the deeper SCP/SQP nests
+    (see solvers/fast_sls.py)."""
+    prob, A, B, c, qx, qu, g_res, gf_res, N, nx, nu, nw = (
+        _double_integrator_problem(N=6)
+    )
+    persist = FastSLSPersist.init(N, nx, nu, 6, 4, nw, jnp.zeros(0).dtype)
+    x0 = jnp.asarray(np.array([3.0, 0.5]))
+
+    def run(block):
+        opts = FastSLSOptions(
+            rti_steps=2, streaming_response=True, sls_block=block,
+            ipm=IPMOptions(max_iter=50, tol=1e-10),
+        )
+        return jax.jit(fast_sls_solve, static_argnums=(10,))(
+            prob, A, B, c, qx, qu, g_res, gf_res, x0, persist, opts
+        )
+
+    s0 = run(0)
+    s3 = run(3)  # does not divide N -> ragged last segment exercised
+    assert bool(s0.success) and bool(s3.success)
+    np.testing.assert_allclose(np.asarray(s3.X), np.asarray(s0.X), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s3.U), np.asarray(s0.U), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(s3.backoff), np.asarray(s0.backoff), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(s3.cost_tube), float(s0.cost_tube), rtol=1e-9
+    )
