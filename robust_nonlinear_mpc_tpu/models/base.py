@@ -82,10 +82,16 @@ class Model:
         Xk, Uk, Xp = X[:N], U, X[1 : N + 1]
 
         def one(xk, uk, xp):
-            A = jax.jacfwd(self.ddyn, argnums=0)(xk, uk)
-            B = jax.jacfwd(self.ddyn, argnums=1)(xk, uk)
-            c = self.ddyn(xk, uk) - xp
-            return A, B, c
+            # one primal evaluation + one linearization shared by all
+            # nx + nu tangents (jacfwd(argnums=0) + jacfwd(argnums=1) +
+            # a separate primal call would evaluate/trace ddyn three times)
+            f, jvp = jax.linearize(self.ddyn, xk, uk)
+            zx, zu = jnp.zeros_like(xk), jnp.zeros_like(uk)
+            eye_x = jnp.eye(xk.shape[0], dtype=xk.dtype)
+            eye_u = jnp.eye(uk.shape[0], dtype=uk.dtype)
+            A = jax.vmap(lambda e: jvp(e, zu))(eye_x).T
+            B = jax.vmap(lambda e: jvp(zx, e))(eye_u).T
+            return A, B, f - xp
 
         return jax.vmap(one)(Xk, Uk, Xp)
 
