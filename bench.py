@@ -155,15 +155,24 @@ def main():
     # vs ~2 once FastSLSPersist.qp_warm converges). RNM_BENCH_WARMUP=0 times
     # the cold transient instead (the pre-session-5 convention: reps=10
     # including the transient reported ~14.3k vs ~19.9k steady state).
+    # Every rep gets a fresh x0 draw (x0 is a traced input — no recompile):
+    # with a FIXED x0 the iterate converges to a fixed point and the QPs
+    # become artificially easy; re-sampling keeps the per-step problem change
+    # O(disturbance), like a real closed loop.
     n_warm = int(jax_env_int("RNM_BENCH_WARMUP", 10))
+    x0_seq = jnp.asarray(
+        x0[None, None]
+        + 0.02 * rng.standard_normal((max(1, n_warm) + n_rep, B, m.nx)),
+        dtype,
+    )
     Xc, Uc, Pc = Xs, Us, persists
-    for _ in range(max(1, n_warm)):
-        Xc, Uc, Pc, ok, _ = step(Xc, Uc, x0s, Pc)
+    for i in range(max(1, n_warm)):
+        Xc, Uc, Pc, ok, _ = step(Xc, Uc, x0_seq[i], Pc)
     jax.block_until_ready(Xc)
 
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        Xc, Uc, Pc, ok, qp_iters = step(Xc, Uc, x0s, Pc)
+    for i in range(n_rep):
+        Xc, Uc, Pc, ok, qp_iters = step(Xc, Uc, x0_seq[max(1, n_warm) + i], Pc)
     jax.block_until_ready(Xc)
     t1 = time.perf_counter()
 

@@ -1,9 +1,11 @@
-"""ctypes bindings to the native C++ QP solver (native/rnm_qp.cpp).
+"""ctypes bindings to the native C++ QP solver (rnm_qp.cpp, shipped in-package).
 
-The shared library is compiled on demand with g++ and cached under
-native/build/. This is the native-runtime counterpart of the reference's
-code-generated OSQP C extension (solver/qp_jit.py backends), minus the
-codegen workflow: one solver binary handles every problem shape.
+The shared library is compiled on demand with g++ and cached next to the
+source (falling back to ~/.cache/rnm_qp when the package directory is not
+writable, e.g. a system-site wheel install). This is the native-runtime
+counterpart of the reference's code-generated OSQP C extension
+(solver/qp_jit.py backends), minus the codegen workflow: one solver binary
+handles every problem shape.
 """
 
 from __future__ import annotations
@@ -15,9 +17,17 @@ from pathlib import Path
 
 import numpy as np
 
-_REPO_ROOT = Path(__file__).resolve().parents[2]
-_SRC = _REPO_ROOT / "native" / "rnm_qp.cpp"
-_BUILD_DIR = _REPO_ROOT / "native" / "build"
+_SRC = Path(__file__).resolve().parent / "rnm_qp.cpp"
+
+
+def _pick_build_dir() -> Path:
+    cand = _SRC.parent / "build"
+    if os.access(_SRC.parent, os.W_OK):
+        return cand
+    return Path(os.path.expanduser("~/.cache/rnm_qp"))
+
+
+_BUILD_DIR = _pick_build_dir()
 _LIB = _BUILD_DIR / "librnm_qp.so"
 
 _lib = None

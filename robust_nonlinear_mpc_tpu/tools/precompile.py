@@ -83,7 +83,7 @@ def precompile(system: str = "rocket", N: int = 15, cache_dir: str | None = None
     return compiled
 
 
-if __name__ == "__main__":
+def main():
     p = argparse.ArgumentParser()
     p.add_argument("--system", default="rocket",
                    choices=["rocket", "pendulum", "quadrotor"])
@@ -91,3 +91,7 @@ if __name__ == "__main__":
     p.add_argument("--cache-dir", default=None)
     args = p.parse_args()
     precompile(args.system, args.N, args.cache_dir)
+
+
+if __name__ == "__main__":
+    main()
