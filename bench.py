@@ -2,13 +2,16 @@
 
 The workload is the reference's headline configuration (rocket "rockETH",
 N = 15, rti = 1, fast_sls_rti_steps = 1 — expe/main_rocket_robust_closed_loop.py):
-one "solve" = one full warm MPC step = jacobian sweep + column-wise backward
-Riccati (tube gains) + streaming response/backoff synthesis + tightened QP,
-in the framework's dual-recycling RTI mode (eta weights persisted from the
-previous step's QP duals; FastSLSOptions.recycle_eta — robust tightening is
-exact every step, MC-validated). RNM_BENCH_RECYCLE=0 reverts to the
-reference-shaped two-QP iteration (untightened QP for duals + tightened QP).
-Scenarios are batched with vmap; the whole step is one jitted XLA program.
+one "solve" = one full closed-loop MPC step (sim.closed_loop.make_mpc_step,
+the same function the batched simulator scans) = jacobian sweep + column-wise
+backward Riccati (tube gains) + streaming response/backoff synthesis +
+tightened QP + plant propagation x+ = f(x, u0) + E w with w ~ U[-1, 1]^nw
+(the reference's disturbance model) + warm shift, in the framework's
+dual-recycling RTI mode (eta weights persisted from the previous step's QP
+duals; FastSLSOptions.recycle_eta — robust tightening is exact every step,
+MC-validated). RNM_BENCH_RECYCLE=0 reverts to the reference-shaped two-QP
+iteration (untightened QP for duals + tightened QP). Scenarios are batched
+with vmap; the whole step is one jitted XLA program.
 
 Prints ONE JSON line:
   {"metric": "rocket_sls_mpc_solves_per_s", "value": ..., "unit": "solves/s",
@@ -126,16 +129,27 @@ def main():
     B = int(jax_env_int("RNM_BENCH_BATCH", 512))
     n_rep = int(jax_env_int("RNM_BENCH_REPS", 10))
 
-    # warm-state ensemble: perturbed hover trajectories + perturbed x0
+    # scenario ensemble: perturbed x0, SQP nominal initialization per lane —
+    # the deployed cold start (reference: IPOPT nominal solve on the first
+    # MPC step). A fabricated straight-line initial plan is dynamically
+    # infeasible; its garbage linearization poisons the step-0 QP duals and
+    # ~half the lanes fail the first tightened QP (measured, CPU B=32 probe:
+    # 18/32 step-1 failures with line init, 0/40 steps with SQP init).
+    # Untimed, like the warm-in reps.
     rng = np.random.default_rng(0)
     x0 = np.array(X0)
     x0s = jnp.asarray(x0[None] + 0.02 * rng.standard_normal((B, m.nx)), dtype)
-    Xs = jnp.asarray(
-        np.linspace(x0, np.zeros(m.nx), N + 1)[None]
-        + 0.01 * rng.standard_normal((B, N + 1, m.nx)),
-        dtype,
+    from robust_nonlinear_mpc_tpu.solvers.sqp import sqp_solve
+
+    sqp_batched = jax.jit(
+        jax.vmap(
+            lambda x: sqp_solve(
+                m, N, solver.Q, solver.R, solver.Qf, x, opts=solver.opts.sqp
+            )
+        )
     )
-    Us = jnp.asarray(0.01 * rng.standard_normal((B, N, m.nu)), dtype)
+    nominal = sqp_batched(x0s)
+    Xs, Us = nominal.X, nominal.U
     persist = FastSLSPersist.init(
         N, m.nx, m.nu, m.ni, m.ni_f, m.nw, dtype, store_phi=not streaming
     )
@@ -143,43 +157,51 @@ def main():
         lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), persist
     )
 
-    def mpc_step(X, U, x0, pers):
-        res = solver._iteration(X, U, x0, pers)
-        return res.X, res.U, res.persist, res.success, res.sls.qp_iters
+    # One "solve" = one full closed-loop MPC step — the SAME function the
+    # batched simulator scans over time (sim.closed_loop.make_mpc_step):
+    # rti SCP iteration(s), apply u0, propagate the true plant
+    # x+ = f(x, u0) + E w with w ~ U[-1, 1]^nw (the reference's disturbance
+    # model, main_rocket_robust_closed_loop.py:178-182), warm-shift. Carrying
+    # the plant state keeps the warm start temporally coherent (the next x0
+    # is near the predicted next state — the MPC contract), while the
+    # disturbance keeps the per-step problem change honest; a fixed x0 per
+    # rep converges to a fixed point and gets artificially easy.
+    from robust_nonlinear_mpc_tpu.sim.closed_loop import make_mpc_step
 
+    mpc_step = make_mpc_step(solver)
     step = jax.jit(jax.vmap(mpc_step))
 
     # compile, then run untimed warm-in reps so the timed window measures
     # steady-state MPC stepping (a deployed controller runs for thousands of
-    # steps; the first few pay colder QP warm starts — 8 Mehrotra iterations
-    # vs ~2 once FastSLSPersist.qp_warm converges). RNM_BENCH_WARMUP=0 times
-    # the cold transient instead (the pre-session-5 convention: reps=10
-    # including the transient reported ~14.3k vs ~19.9k steady state).
-    # Every rep gets a fresh x0 draw (x0 is a traced input — no recompile):
-    # with a FIXED x0 the iterate converges to a fixed point and the QPs
-    # become artificially easy; re-sampling keeps the per-step problem change
-    # O(disturbance), like a real closed loop.
-    n_warm = int(jax_env_int("RNM_BENCH_WARMUP", 10))
-    x0_seq = jnp.asarray(
-        x0[None, None]
-        + 0.02 * rng.standard_normal((max(1, n_warm) + n_rep, B, m.nx)),
-        dtype,
+    # steps). Default 30 = the reference's full maneuver length
+    # (main_rocket_robust_closed_loop.py:128): the closed loop flies the
+    # aggressive transient during warm-in and the timed window measures the
+    # disturbance-regulation regime (success 1.0, QPs at ~2-3 Mehrotra
+    # iterations from the cross-step warm start, vs ~8 cold).
+    # RNM_BENCH_WARMUP=0 times the cold transient instead.
+    n_warm = int(jax_env_int("RNM_BENCH_WARMUP", 30))
+    w_seq = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (max(1, n_warm) + n_rep, B, m.nw)), dtype
     )
-    Xc, Uc, Pc = Xs, Us, persists
+    carry = (Xs, Us, persists, x0s)
     for i in range(max(1, n_warm)):
-        Xc, Uc, Pc, ok, _ = step(Xc, Uc, x0_seq[i], Pc)
-    jax.block_until_ready(Xc)
+        carry, (_, _, _, _, _, _, ok, _) = step(carry, w_seq[i])
+    jax.block_until_ready(carry[0])
 
     t0 = time.perf_counter()
     for i in range(n_rep):
-        Xc, Uc, Pc, ok, qp_iters = step(Xc, Uc, x0_seq[max(1, n_warm) + i], Pc)
-    jax.block_until_ready(Xc)
+        carry, (_, _, _, _, _, _, ok, qp_iters) = step(
+            carry, w_seq[max(1, n_warm) + i]
+        )
+    jax.block_until_ready(carry[0])
     t1 = time.perf_counter()
 
     total_solves = B * n_rep
     solves_per_s = total_solves / (t1 - t0)
     ok_frac = float(jnp.mean(ok.astype(jnp.float32)))
-    finite = bool(jnp.all(jnp.isfinite(Xc)))
+    finite = bool(
+        jnp.all(jnp.isfinite(carry[0])) and jnp.all(jnp.isfinite(carry[3]))
+    )
 
     # p50 per-step latency for the single-instance real-time question.
     # Opt-in (RNM_BENCH_LATENCY=1): it costs a second full compile of the
@@ -192,13 +214,15 @@ def main():
         # folded 35.4 ms — dispatch-bound, variance dominates), so the probe
         # uses the same options as the throughput program
         single = jax.jit(mpc_step)
-        Xi, Ui, Pi, _, _ = single(Xs[0], Us[0], x0s[0], persist)
-        jax.block_until_ready(Xi)
+        carry1 = (Xs[0], Us[0], persist, x0s[0])
+        w1 = w_seq[0, 0]
+        c_out, _ = single(carry1, w1)
+        jax.block_until_ready(c_out[0])
         lats = []
         for _ in range(10):
             ts = time.perf_counter()
-            out = single(Xs[0], Us[0], x0s[0], persist)
-            jax.block_until_ready(out[0])
+            c_out, _ = single(carry1, w1)
+            jax.block_until_ready(c_out[0])
             lats.append(time.perf_counter() - ts)
         lat_ms = 1e3 * float(np.median(lats))
 

@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from robust_nonlinear_mpc_tpu.solvers.fast_sls import FastSLSPersist
+from robust_nonlinear_mpc_tpu.solvers.fast_sls import (
+    FastSLSPersist,
+    warm_shift_persist,
+)
 from robust_nonlinear_mpc_tpu.solvers.scp_sls import SCPSLSSolver
 from robust_nonlinear_mpc_tpu.solvers.sqp import sqp_solve
 
@@ -125,28 +128,45 @@ def run_closed_loop(
 # ----------------------------------------------------------------------
 # Fully-jitted batched closed loop
 # ----------------------------------------------------------------------
-def build_batched_closed_loop(solver: SCPSLSSolver, sim_steps: int, noise_scale=None):
-    """Build a pure function: (x0, W) -> ClosedLoopLog for one scenario.
+def make_mpc_step(solver: SCPSLSSolver):
+    """One pure closed-loop MPC step: (carry, w_t) -> (carry', outputs).
 
-    x0: (nx,) initial state; W: (sim_steps, nw) disturbance samples in
-    [-1, 1] (scaled by E inside; pass zeros for noise-free parity sims).
-    vmap it for scenario batches; jit once.
-
-    The per-step structure replicates the reference main loop exactly:
-    warm-shift (steps > 0), `rti` SCP iterations, apply u0, propagate
-    x+ = f(x, u0) + E w.
+    carry = (X, U, persist, x): the warm-start trajectory, the cross-step
+    SLS state, and the true plant state. The step replicates the reference
+    main loop exactly — `rti` SCP iterations, apply u0, propagate
+    x+ = f(x, u0) + E w, warm-shift for the next step (reference
+    reset_warm_start; SCPSLSSolver.reset_warm_start is the stateful twin of
+    the shift logic here — keep them in sync). Shared by
+    `build_batched_closed_loop` (lax.scan over time) and bench.py (one
+    timed invocation per rep).
     """
     m = solver.m
     N = solver.N
     rti = max(int(solver.opts.rti), 1)
     E = jnp.asarray(m.E, solver.dtype)
+    fopts = solver._fast_sls_opts()
 
     def mpc_step(carry, w_t):
         X, U, persist, x = carry
         res = None
         for _ in range(rti):
             res = solver._iteration(X, U, x, persist)
-            X, U, persist = res.X, res.U, res.persist
+            # accept any FINITE iterate, even from a reported failure — a
+            # capped/inaccurate QP still returns a Newton-ish step that
+            # re-centers the nominal, and lanes recover within 1-2 steps
+            # (measured: gating on success instead freezes a stale plan and
+            # failed lanes never recover; no gate at all lets a non-finite
+            # solve poison the warm start and the lane NaNs within ~30
+            # steps). The reference updates unconditionally (socp_step,
+            # SCP_SLS_jit.py:426-430) but never sees non-finite QP output
+            # from OSQP at 1e-9 — finiteness is the f32/TPU-honest gate.
+            finite = jnp.all(jnp.isfinite(res.X)) & jnp.all(jnp.isfinite(res.U))
+            X = jnp.where(finite, res.X, X)
+            U = jnp.where(finite, res.U, U)
+            persist = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old),
+                res.persist, persist,
+            )
         u0 = U[0]
         x_next = m.ddyn(x, u0) + E @ w_t
         # warm shift for the next step (reference reset_warm_start)
@@ -156,12 +176,16 @@ def build_batched_closed_loop(solver: SCPSLSSolver, sim_steps: int, noise_scale=
             keep_prev=persist.prev_primal,
             store_phi=persist.Phi_x.shape[1] > 0,
         )._replace(have_prev=persist.have_prev)
-        if solver._fast_sls_opts().recycle_eta:
+        if fopts.recycle_eta:
             # dual-recycling mode: eta must survive the warm shift (it IS
-            # the recycled state; see FastSLSOptions.recycle_eta)
+            # the recycled state), stage-shifted to stay aligned with the
+            # advanced horizon (fast_sls.warm_shift_persist)
+            shifted = warm_shift_persist(persist)
             persist_next = persist_next._replace(
-                eta=persist.eta, eta_f=persist.eta_f
+                eta=shifted.eta, eta_f=shifted.eta_f
             )
+            if fopts.recycle_warm_qp:
+                persist_next = persist_next._replace(qp_warm=shifted.qp_warm)
         out = (
             x,
             u0,
@@ -173,6 +197,20 @@ def build_batched_closed_loop(solver: SCPSLSSolver, sim_steps: int, noise_scale=
             res.sls.qp_iters,
         )
         return (Xs, Us, persist_next, x_next), out
+
+    return mpc_step
+
+
+def build_batched_closed_loop(solver: SCPSLSSolver, sim_steps: int, noise_scale=None):
+    """Build a pure function: (x0, W) -> ClosedLoopLog for one scenario.
+
+    x0: (nx,) initial state; W: (sim_steps, nw) disturbance samples in
+    [-1, 1] (scaled by E inside; pass zeros for noise-free parity sims).
+    vmap it for scenario batches; jit once.
+    """
+    m = solver.m
+    N = solver.N
+    mpc_step = make_mpc_step(solver)
 
     def rollout(x0, W):
         x0 = jnp.asarray(x0, solver.dtype)

@@ -104,6 +104,11 @@ class SLSProblem(NamedTuple):
 
 class FastSLSOptions(NamedTuple):
     rti_steps: int = 0          # >0: run exactly this many iterations (RTI)
+    # per-iteration table via jax.debug.print (reference fast_SLS PrettyTable,
+    # fast_SLS_jit.py:346-403). Static flag: zero cost when off. Meant for
+    # single-instance debugging; under vmap every lane prints.
+    verbose: bool = False
+    verbose_tab: str = "\t"     # indent prefix (fast_SLS_jit.py:210-211)
     max_iter: int = 30          # safety cap in until-convergence mode
     conv_tol: float = 1e-3      # primal-only criterion (fast_SLS_jit.py:594)
     epsilon_backoff: float = 1e-10
@@ -221,6 +226,45 @@ class FastSLSPersist(NamedTuple):
             cost_tube=jnp.asarray(jnp.nan, dtype),
             qp_warm=QPWarm.init(N, nx, nu, ni, ni_f, dtype),
         )
+
+
+def _shift_repeat(a, axis):
+    """out[k] = a[k+1] along `axis`, with the last entry repeated."""
+    n = a.shape[axis]
+    src = jnp.minimum(jnp.arange(n) + 1, n - 1)
+    return jnp.take(a, src, axis=axis)
+
+
+def warm_shift_persist(persist: "FastSLSPersist") -> "FastSLSPersist":
+    """Stage-shift the recycled cross-step state at an MPC warm shift.
+
+    The MPC warm shift advances the horizon one stage (reference
+    reset_warm_start, SCP_SLS_jit.py:512-518): stage k of the new problem is
+    stage k+1 of the old one, and SLS column j (disturbance entering at step
+    j) becomes old column j+1. The recycled quantities must shift the same
+    way or they are misaligned by one stage:
+
+      * eta (N, N, ni): shift both the stage axis and the column axis,
+        repeating the last entry (the same boundary heuristic as the
+        reference's primal shift, which keeps U[:, N-1]);
+      * eta_f (N+1, ni_f): shift the column axis.
+
+    qp_warm is deliberately NOT shifted: measured on the rocket closed loop
+    (CPU f32 8-lane probe), stage-shifting the warm QP primal/duals makes
+    lanes that fail a step unrecoverable (steady success 0.62 vs 1.0) — the
+    warm deviation-QP iterate is a point near the NEW problem's central
+    path, not a stage-indexed trajectory, so shifting it moves it off-path.
+    Carrying it verbatim is both safe and what delivers the warm-start win
+    (steady-state ~3.5 IPM iters vs ~8.6 without carrying it).
+
+    K / Phi / cost_tube are not shifted — every consumer recomputes them from
+    eta before use. Callers combine this with a fresh FastSLSPersist.init for
+    the non-recycled fields (see SCPSLSSolver.reset_warm_start and
+    sim.closed_loop.make_mpc_step).
+    """
+    eta = _shift_repeat(_shift_repeat(persist.eta, 0), 1)
+    eta_f = _shift_repeat(persist.eta_f, 0)
+    return persist._replace(eta=eta, eta_f=eta_f)
 
 
 class FastSLSSolution(NamedTuple):
@@ -511,7 +555,8 @@ def fast_sls_solve(
             )
         sol = carry.sol
         y = pack_primal(sol.X, sol.U)
-        conv = carry.have_prev & (jnp.max(jnp.abs(y - carry.prev_primal)) <= opts.conv_tol)
+        delta_primal = jnp.max(jnp.abs(y - carry.prev_primal))
+        conv = carry.have_prev & (delta_primal <= opts.conv_tol)
         carry = carry._replace(prev_primal=y, have_prev=jnp.array(True))
         # converged or infeasible -> skip the backward/tighten update
         do_update = ~(conv | carry.infeasible)
@@ -519,7 +564,30 @@ def fast_sls_solve(
         carry = jax.tree_util.tree_map(
             lambda a, b: jnp.where(do_update, b, a), carry, updated
         )
-        return carry._replace(converged=carry.converged | conv)
+        carry = carry._replace(converged=carry.converged | conv)
+        if opts.verbose:
+            # inner iteration table, mirroring the reference's fast-SLS
+            # PrettyTable columns (fast_SLS_jit.py:346-403) with the same
+            # `tab` indent (:210-211). jax.debug.print keeps this inside the
+            # jitted loop; the static flag makes it free when off.
+            lax.cond(
+                carry.iteration_number <= 1,
+                lambda: jax.debug.print(
+                    opts.verbose_tab
+                    + "{h0:>4} {h1:>10} {h2:>11} {h3:>11} {h4:>11} {h5:>6}",
+                    h0="it", h1="Δ primal", h2="cost nom.", h3="cost tube",
+                    h4="cost total", h5="qp it",
+                ),
+                lambda: None,
+            )
+            jax.debug.print(
+                opts.verbose_tab
+                + "{it:>4} {dp:>10.2e} {cn:>11.4e} {ct:>11.4e} {tot:>11.4e} {qi:>6}",
+                it=carry.iteration_number, dp=delta_primal,
+                cn=carry.sol.cost, ct=carry.cost_tube,
+                tot=carry.sol.cost + carry.cost_tube, qi=carry.qp_iters,
+            )
+        return carry
 
     carry = make_carry(zero_sol)
     steps = max(int(opts.rti_steps), 1) if opts.rti_steps else None

@@ -2,7 +2,7 @@
 
 API parity with the reference `solver/qp_jit.py:22-628` (class QP): build the
 horizon QP once from a model, then per-iteration numeric updates only —
-`update_dynamics`, `update_ubg`/`reset_ubg`, `offset_constraints`,
+`update_dynamics`, `update_ubg`/`reset_ubg`/`reset_lbg`, `offset_constraints`,
 `update_q_cost_lin`/`add_q_cost_lin`/`reset_q_cost_lin`, `solve(x0)` — and
 pluggable backends:
 
@@ -110,6 +110,13 @@ class QP:
     def reset_ubg(self):
         self._h = self._nominal_h
         self._hf = self._nominal_hf
+
+    def reset_lbg(self):
+        """Reset the equality-row offsets to nominal (reference
+        qp_jit.py:589-593). The reference encodes the dynamics defect in the
+        OSQP lower/upper bounds of the equality rows; here equalities are
+        explicit with affine term c, so resetting lbg = zeroing c."""
+        self._c = jnp.zeros((self.N, self.m.nx), self.dtype)
 
     def update_q_cost_lin(self, qx, qu=None):
         if qu is None:

@@ -43,6 +43,7 @@ from robust_nonlinear_mpc_tpu.solvers.fast_sls import (
     FastSLSPersist,
     SLSProblem,
     fast_sls_solve,
+    warm_shift_persist,
 )
 from robust_nonlinear_mpc_tpu.solvers.sqp import SQPOptions, sqp_solve
 from robust_nonlinear_mpc_tpu.utils.numerics import mm
@@ -74,6 +75,10 @@ class SCPSLSOptions(NamedTuple):
     sqp: SQPOptions = SQPOptions()
     refine_on_convergence: bool = False
     verbose: bool = False
+    # inner fast-SLS iteration table (the reference's post-construction
+    # `solver.fast_SLS_solver.verbose = True` poke,
+    # main_rocket_robust_closed_loop.py:86-93); jax.debug.print-based
+    fast_sls_verbose: bool = False
 
 
 class SCPIterResult(NamedTuple):
@@ -134,6 +139,22 @@ class SCPSLSSolver:
             opts = opts._replace(verbose=bool(kwargs["verbose"]))
         self.opts = opts
 
+        # remaining reference ctor kwargs (SCP_SLS_jit.py:33-44)
+        self.save_it_data = bool(kwargs.get("save_it_data", True))
+        if kwargs.get("linearization_error", False):
+            # the reference also raises on first use (SCP_SLS_jit.py:263-264)
+            raise NotImplementedError(
+                "linearization_error=True is not implemented (parity with the "
+                "reference, which raises NotImplementedError in "
+                "update_jacobian); E is taken from the model at every stage."
+            )
+        # accepted for signature parity; the reference's consuming branch is
+        # hardcoded dead (shift_ubg = False, SCP_SLS_jit.py:83-102), so the
+        # flag has no effect there either (SURVEY.md §2.2)
+        self.warm_start_ubg_shift_enabled = bool(
+            kwargs.get("warm_start_ubg_shift", True)
+        )
+
         self._build_problem()
         self._iter_jit = jax.jit(self._iteration)
         self._shift_jit = jax.jit(self._warm_shift)
@@ -186,6 +207,7 @@ class SCPSLSSolver:
             ipm=self.opts.ipm,
             ipm_first=self.opts.ipm_first,
             sls_block=self.opts.sls_block,
+            verbose=self.opts.fast_sls_verbose,
         )
 
     # ------------------------------------------------------------------
@@ -344,7 +366,8 @@ class SCPSLSSolver:
             self._X, self._U = res.X, res.U
             self._persist = res.persist
             delta = float(jnp.max(jnp.abs(res.delta_vec)))
-            self.it_data[ii] = {"cost": float(res.cost), "delta": delta}
+            if self.save_it_data:
+                self.it_data[ii] = {"cost": float(res.cost), "delta": delta}
             if self.opts.verbose:
                 print(
                     f"{ii:>10} {delta:>10.2e} {float(res.cost):>10.2e} "
@@ -545,8 +568,14 @@ class SCPSLSSolver:
         )._replace(have_prev=old.have_prev)
         if self.opts.recycle_eta:
             # dual-recycling mode: eta IS the recycled state — it must
-            # survive the warm shift (FastSLSOptions.recycle_eta)
-            self._persist = self._persist._replace(eta=old.eta, eta_f=old.eta_f)
+            # survive the warm shift, stage-shifted to stay aligned with the
+            # advanced horizon (fast_sls.warm_shift_persist)
+            shifted = warm_shift_persist(old)
+            self._persist = self._persist._replace(
+                eta=shifted.eta, eta_f=shifted.eta_f
+            )
+            if self.opts.recycle_warm_qp:
+                self._persist = self._persist._replace(qp_warm=shifted.qp_warm)
         self.it_data = {}
 
     def reset(self):

@@ -343,3 +343,62 @@ def test_sls_block_option_matches_folded():
     np.testing.assert_allclose(
         float(s3.cost_tube), float(s0.cost_tube), rtol=1e-9
     )
+
+
+def test_fast_sls_verbose_iteration_table(capfd):
+    """opts.verbose emits the inner iteration table (reference fast_SLS
+    PrettyTable, fast_SLS_jit.py:346-403) via jax.debug.print, and the flag
+    does not change the solution."""
+    prob, A, B, c, qx, qu, g_res, gf_res, N, nx, nu, nw = _double_integrator_problem()
+    persist = FastSLSPersist.init(N, nx, nu, 6, 4, nw, jnp.zeros(0).dtype)
+    ipm = IPMOptions(max_iter=50, tol=1e-10)
+    x0 = jnp.asarray(np.array([3.0, 0.5]))
+
+    quiet = fast_sls_solve(
+        prob, A, B, c, qx, qu, g_res, gf_res, x0, persist,
+        FastSLSOptions(rti_steps=2, ipm=ipm),
+    )
+    jax.block_until_ready(quiet.X)
+    capfd.readouterr()  # drop anything buffered so far
+
+    loud = fast_sls_solve(
+        prob, A, B, c, qx, qu, g_res, gf_res, x0, persist,
+        FastSLSOptions(rti_steps=2, ipm=ipm, verbose=True, verbose_tab="  "),
+    )
+    jax.block_until_ready(loud.X)
+    jax.effects_barrier()
+    out = capfd.readouterr().out
+    assert "cost tube" in out          # header row
+    lines = [l for l in out.splitlines() if l.strip() and "cost tube" not in l]
+    assert len(lines) >= 2             # one row per RTI iteration
+    assert all(l.startswith("  ") for l in lines)  # verbose_tab indent
+    np.testing.assert_allclose(
+        np.asarray(loud.X), np.asarray(quiet.X), rtol=0, atol=0
+    )
+
+
+def test_warm_shift_persist_semantics():
+    """warm_shift_persist stage/column-shifts eta (repeat-last boundary) and
+    leaves qp_warm untouched (measured: shifting the warm QP iterate breaks
+    failed-lane recovery — see the docstring)."""
+    from robust_nonlinear_mpc_tpu.solvers.fast_sls import warm_shift_persist
+
+    N, nx, nu, ni, ni_f, nw = 4, 2, 1, 3, 2, 2
+    p = FastSLSPersist.init(N, nx, nu, ni, ni_f, nw, jnp.zeros(0).dtype)
+    eta = jnp.arange(N * N * ni, dtype=jnp.float64).reshape(N, N, ni)
+    eta_f = jnp.arange((N + 1) * ni_f, dtype=jnp.float64).reshape(N + 1, ni_f)
+    qp_warm = p.qp_warm._replace(X=p.qp_warm.X + 7.0)
+    p = p._replace(eta=eta, eta_f=eta_f, qp_warm=qp_warm)
+
+    s = warm_shift_persist(p)
+    # interior: s.eta[k, j] == eta[k+1, j+1]
+    np.testing.assert_array_equal(np.asarray(s.eta[0, 0]), np.asarray(eta[1, 1]))
+    np.testing.assert_array_equal(np.asarray(s.eta[1, 2]), np.asarray(eta[2, 3]))
+    # boundaries repeat the last stage/column
+    np.testing.assert_array_equal(np.asarray(s.eta[N - 1, 0]), np.asarray(eta[N - 1, 1]))
+    np.testing.assert_array_equal(np.asarray(s.eta[0, N - 1]), np.asarray(eta[1, N - 1]))
+    np.testing.assert_array_equal(np.asarray(s.eta_f[:-1]), np.asarray(eta_f[1:]))
+    np.testing.assert_array_equal(np.asarray(s.eta_f[-1]), np.asarray(eta_f[-1]))
+    # qp_warm and the non-recycled fields pass through verbatim
+    np.testing.assert_array_equal(np.asarray(s.qp_warm.X), np.asarray(qp_warm.X))
+    np.testing.assert_array_equal(np.asarray(s.K), np.asarray(p.K))

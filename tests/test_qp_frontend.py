@@ -81,3 +81,22 @@ def test_frontend_ltv_from_model():
     sol = qp.solve(np.array([-0.5, -0.5, 0.0, 0.0]))
     assert sol["success"]
     np.testing.assert_allclose(sol["primal_x"][:, 0], [0.5, 0.5, 0, 0], atol=1e-7)
+
+
+def test_frontend_reset_lbg_clears_equality_offsets():
+    """reset_lbg restores the nominal equality rhs (reference qp_jit.py:589,
+    called by fast_SLS initialize_solver, fast_SLS_jit.py:437): after an
+    offset_constraints + reset_lbg + reset_ubg round trip the solution
+    matches a fresh solve."""
+    m = _lti()
+    qp = QP(6, np.eye(2), 0.1 * np.eye(1), m, 5 * np.eye(2))
+    x0 = np.array([-3.0, -0.5])
+    ref = qp.solve(x0)
+    qp.offset_constraints(0.02 * np.ones((6, 2)))
+    shifted = qp.solve(x0)
+    assert shifted["success"]
+    assert np.max(np.abs(shifted["primal_x"] - ref["primal_x"])) > 1e-3
+    qp.reset_lbg()
+    qp.reset_ubg()
+    back = qp.solve(x0)
+    np.testing.assert_allclose(back["primal_x"], ref["primal_x"], atol=1e-9)

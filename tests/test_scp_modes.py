@@ -131,3 +131,27 @@ def test_throughput_options_first_class():
     X, U = sol2["primal_x"], sol2["primal_u"]
     assert np.max(np.abs(U)) <= 5.0 + 1e-9
     assert np.max(np.abs(X)) <= 10.0 + 1e-9
+
+
+def test_ctor_kwarg_parity():
+    """The remaining reference ctor kwargs (SCP_SLS_jit.py:33-44) are
+    accepted: save_it_data gates it_data capture, linearization_error=True
+    raises (as the reference's update_jacobian does), warm_start_ubg_shift
+    is accepted and recorded (its reference consumer is dead code)."""
+    m = Pendulum()
+    solver = SCPSLSSolver(
+        5, np.eye(m.nx), np.eye(m.nu), m, np.eye(m.nx),
+        rti=1, fast_sls_rti_steps=1,
+        save_it_data=False, warm_start_ubg_shift=False,
+    )
+    assert not solver.save_it_data
+    assert not solver.warm_start_ubg_shift_enabled
+    res = solver.solve(np.array([0.1, 0.0, 0.0, 0.0]))
+    assert res["success"]
+    assert solver.it_data == {}
+
+    with pytest.raises(NotImplementedError):
+        SCPSLSSolver(
+            5, np.eye(m.nx), np.eye(m.nu), m, np.eye(m.nx),
+            rti=1, linearization_error=True,
+        )
