@@ -86,6 +86,21 @@ def sqp_solve(
 
     x0 = jnp.asarray(x0)
     dtype = x0.dtype
+
+    # dtype-aware tolerance floors: the f64-grade defaults (1e-9 step/feas,
+    # 1e-10 relative IPM KKT) are unreachable in f32 — without the floors the
+    # very first QP reports failure and the SQP aborts after ONE Gauss-Newton
+    # step with defects ~0.4 (measured; every f32 caller then either flew on
+    # a one-step seed or fell through to the soft+polish path). Floors are
+    # no-ops in f64.
+    import numpy as _np
+
+    _eps = float(_np.finfo(_np.dtype(dtype.name)).eps)
+    tol_step = max(float(opts.tol_step), 1e3 * _eps)
+    tol_feas = max(float(opts.tol_feas), 1e3 * _eps)
+    ipm_opts = opts.ipm
+    if ipm_opts.tol < 30 * _eps:
+        ipm_opts = ipm_opts._replace(tol=30 * _eps)
     Q = jnp.asarray(Q, dtype)
     R = jnp.asarray(R, dtype)
     Qf = jnp.asarray(Qf, dtype)
@@ -121,7 +136,7 @@ def sqp_solve(
         qu = 2 * mm(U, R.T)
 
         data = QPData(A=A, B=B, c=c, qx=qx, qu=qu, h=h, hf=hf, xinit=x0 - X[0])
-        sol = solve_qp(stat, data, opts.ipm)
+        sol = solve_qp(stat, data, ipm_opts)
 
         # merit penalty: dominate the dynamics multipliers
         rho_n = jnp.maximum(
@@ -147,7 +162,7 @@ def sqp_solve(
 
         step_n = jnp.maximum(jnp.max(jnp.abs(sol.X)), jnp.max(jnp.abs(sol.U)))
         feas_n = jnp.max(jnp.abs(defects(X_n, U_n)))
-        conv = (step_n < opts.tol_step) & (feas_n < opts.tol_feas) & sol.success
+        conv = (step_n < tol_step) & (feas_n < tol_feas) & sol.success
         fail = ~sol.success
 
         done_n = done | conv | fail
@@ -177,8 +192,14 @@ def sqp_solve(
         lax.while_loop(cond, body, init)
     )
 
-    # exhausted iterations without explicit failure: accept if feasible enough
-    success = success | ((feas < 1e-6) & (step_norm < 1e-6))
+    # exhausted iterations without explicit failure: accept if feasible
+    # enough. The step bound is 10x looser than the in-loop criterion: in
+    # f32 the line search chatters at step norms ~5e-4 near the optimum
+    # (merit differences below rounding noise) while defects sit at 1e-5 —
+    # those iterates are converged for every practical purpose.
+    success = success | (
+        (feas < max(1e-6, tol_feas)) & (step_norm < max(1e-6, 10 * tol_step))
+    )
 
     dual_vec = jnp.concatenate([nu_dyn.reshape(-1), lam.reshape(-1), lam_f])
     return SQPSolution(

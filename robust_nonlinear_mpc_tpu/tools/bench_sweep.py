@@ -85,15 +85,25 @@ def bench_system(system: str, B: int, n_rep: int, recycle: bool, streaming: bool
         sls_block=int(os.environ.get("RNM_SLS_BLOCK", "0" if on_cpu else "2")),
     )
 
+    # same honest workload as bench.py: one "step" = one TRUE closed-loop
+    # MPC step (sim.closed_loop.make_mpc_step: all outer SCP iterations +
+    # plant propagation under w~U[-1,1] + warm shift), lanes SQP-seeded,
+    # untimed warm-in so the timed window is the regulation steady state.
+    from robust_nonlinear_mpc_tpu.sim.closed_loop import make_mpc_step
+    from robust_nonlinear_mpc_tpu.solvers.sqp import sqp_solve
+
     rti = max(int(solver.opts.rti), 1)
+    n_warm = int(os.environ.get("RNM_BENCH_WARMUP", "30"))
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(x_center[None] + 0.02 * rng.standard_normal((B, m.nx)), dtype)
-    Xs = jnp.asarray(
-        np.linspace(x_center, hover, N + 1)[None]
-        + 0.01 * rng.standard_normal((B, N + 1, m.nx)),
-        dtype,
-    )
-    Us = jnp.asarray(0.01 * rng.standard_normal((B, N, m.nu)), dtype)
+    nominal = jax.jit(
+        jax.vmap(
+            lambda x: sqp_solve(
+                m, N, solver.Q, solver.R, solver.Qf, x, opts=solver.opts.sqp
+            )
+        )
+    )(x0s)
+    Xs, Us = nominal.X, nominal.U
     persist = FastSLSPersist.init(
         N, m.nx, m.nu, m.ni, m.ni_f, m.nw, dtype, store_phi=not streaming
     )
@@ -101,37 +111,36 @@ def bench_system(system: str, B: int, n_rep: int, recycle: bool, streaming: bool
         lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), persist
     )
 
-    def mpc_step(X, U, x0, pers):
-        ok = jnp.array(True)
-        for _ in range(rti):  # full warm step = all outer SCP iterations
-            res = solver._iteration(X, U, x0, pers)
-            X, U, pers = res.X, res.U, res.persist
-            ok = ok & res.success
-        return X, U, pers, ok
-
-    step = jax.jit(jax.vmap(mpc_step))
-    out = step(Xs, Us, x0s, persists)
-    jax.block_until_ready(out[0])
+    step = jax.jit(jax.vmap(make_mpc_step(solver)))
+    w_seq = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (max(1, n_warm) + n_rep, B, m.nw)), dtype
+    )
+    carry = (Xs, Us, persists, x0s)
+    for i in range(max(1, n_warm)):
+        carry, (_, _, _, _, _, _, ok, _) = step(carry, w_seq[i])
+    jax.block_until_ready(carry[0])
 
     t0 = time.perf_counter()
-    Xc, Uc, Pc = Xs, Us, persists
-    for _ in range(n_rep):
-        Xc, Uc, Pc, ok = step(Xc, Uc, x0s, Pc)
-    jax.block_until_ready(Xc)
+    for i in range(n_rep):
+        carry, (_, _, _, _, _, _, ok, _) = step(carry, w_seq[max(1, n_warm) + i])
+    jax.block_until_ready(carry[0])
     dt_s = time.perf_counter() - t0
 
     return {
         "metric": f"{system}_sls_mpc_steps_per_s",
         "value": round(B * n_rep / dt_s, 2),
-        "unit": "warm MPC steps/s",
+        "unit": "closed-loop MPC steps/s",
         "rti": rti,
         "fast_sls_rti_steps": int(solver.opts.fast_sls_rti_steps),
         "batch": B,
         "reps": n_rep,
+        "warmup_reps": n_warm,
         "device": str(jax.devices()[0]),
         "dtype": str(dtype),
         "success_fraction": round(float(jnp.mean(ok.astype(jnp.float32))), 4),
-        "finite": bool(jnp.all(jnp.isfinite(Xc))),
+        "finite": bool(
+            jnp.all(jnp.isfinite(carry[0])) and jnp.all(jnp.isfinite(carry[3]))
+        ),
     }
 
 

@@ -93,3 +93,24 @@ def test_sqp_warm_start_guess():
     assert bool(warm.success)
     assert int(warm.iters) <= 2
     np.testing.assert_allclose(np.asarray(warm.U), np.asarray(cold.U), atol=1e-8)
+
+
+def test_sqp_f32_cold_start_converges():
+    """f32 (the TPU throughput dtype) must not trip the f64-grade default
+    tolerances: without the dtype-aware floors the very first QP reports
+    failure and the SQP aborts after ONE Gauss-Newton step with defects
+    ~0.4 — this pins the floors (sqp_solve) end-to-end on the rocket."""
+    from robust_nonlinear_mpc_tpu.models import Rocket
+
+    m = Rocket()
+    N = 10
+    Q, R, Qf = np.eye(m.nx), np.eye(m.nu), 10 * np.eye(m.nx)
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(
+        0.05 * rng.standard_normal(m.nx), jnp.float32
+    )
+    sol = sqp_solve(m, N, Q, R, Qf, x0)
+    assert sol.X.dtype == jnp.float32
+    assert bool(sol.success)
+    assert int(sol.iters) >= 2          # actually iterated, not aborted
+    assert float(sol.feas) < 1e-4       # f32-grade multiple-shooting defect
