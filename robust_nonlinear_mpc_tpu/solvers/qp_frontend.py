@@ -36,7 +36,8 @@ from robust_nonlinear_mpc_tpu.ops.qp_ipm import (
 
 class QP:
     def __init__(self, N, Q, R, m, Qf, *, backend="jax", ipm: IPMOptions | None = None,
-                 verbose=False):
+                 verbose=False, export_standard_QP: bool = False,
+                 export_dir=None):
         assert backend in {"jax", "native"}
         self.N = int(N)
         self.m = m
@@ -44,6 +45,12 @@ class QP:
         self.verbose = verbose
         self.ipm = ipm or IPMOptions()
         self.dtype = jnp.zeros(0).dtype
+        # MATLAB-quadprog export for external validation (reference
+        # qp_jit.py:36,45,477,884-943): every successful solve is dumped as a
+        # standard-form QP .mat when export_standard_QP is set.
+        self.export_standard_qp = bool(export_standard_QP)
+        self.export_dir = export_dir if export_dir is not None else "build/quadprog_exports"
+        self._export_counter = 0
 
         nx, nu = m.nx, m.nu
         G = np.asarray(m.G, float)
@@ -175,7 +182,7 @@ class QP:
         if not ok:
             return {"success": False}
         y = np.asarray(pack_primal(jnp.asarray(X), jnp.asarray(U)))
-        return {
+        ret = {
             "success": True,
             "primal_vec": y,
             "primal_x": X.T,          # (nx, N+1) reference layout
@@ -184,3 +191,109 @@ class QP:
             "dual_mu_f": lam_f,
             "cost": cost,
         }
+        if self.export_standard_qp:
+            self._export_quadprog(x0, ret)
+        return ret
+
+    # ------------------------------------------------------------------
+    # External-validation export (reference qp_jit.py:884-943)
+    # ------------------------------------------------------------------
+    def densify(self, x0=None):
+        """Dense standard-form view of the current QP over the reference's
+        stage-wise vector y = [x0;u0;...;x_{N-1};u_{N-1};xN]:
+        min 0.5 y'H y + f'y  s.t.  A y <= b,  Aeq y = beq.
+
+        Equality rows are the dynamics defects [A_k B_k -I] y = -c_k
+        (reference qp_jit.py:102-123) plus, when x0 is given, the initial
+        pin I·x(0) = -x0 (qp_jit.py:161-169 helper rows, exported as
+        equalities like the reference's append at :906-910).
+        """
+        N, nx, nu = self.N, self.m.nx, self.m.nu
+        A = np.asarray(self._A, float)
+        B = np.asarray(self._B, float)
+        c = np.asarray(self._c, float)
+        h = np.asarray(self._h, float)
+        hf = np.asarray(self._hf, float)
+        Gx = np.asarray(self.stat.Gx, float)
+        Gu = np.asarray(self.stat.Gu, float)
+        Gf = np.asarray(self.stat.Gf, float)
+        ni, ni_f = Gx.shape[0], Gf.shape[0]
+        nv = (nx + nu) * N + nx
+
+        def xi(k):
+            return slice(k * (nx + nu), k * (nx + nu) + nx)
+
+        def ui(k):
+            return slice(k * (nx + nu) + nx, (k + 1) * (nx + nu))
+
+        # quadprog minimizes 0.5 y'H y + f'y; our statics already hold
+        # H-blocks = 2Q / 2R / 2Qf (reference H = 2*P, qp_jit.py:893)
+        H = np.zeros((nv, nv))
+        f = np.zeros(nv)
+        qx = np.asarray(self._qx, float)
+        qu = np.asarray(self._qu, float)
+        for k in range(N):
+            H[xi(k), xi(k)] = np.asarray(self.stat.Hx, float)
+            H[ui(k), ui(k)] = np.asarray(self.stat.Hu, float)
+            f[xi(k)] = qx[k]
+            f[ui(k)] = qu[k]
+        H[xi(N), xi(N)] = np.asarray(self.stat.HxN, float)
+        f[xi(N)] = qx[N]
+
+        n_eq = N * nx + (nx if x0 is not None else 0)
+        Aeq = np.zeros((n_eq, nv))
+        beq = np.zeros(n_eq)
+        for k in range(N):
+            r = slice(k * nx, (k + 1) * nx)
+            Aeq[r, xi(k)] = A[k]
+            Aeq[r, ui(k)] = B[k]
+            Aeq[r, xi(k + 1)] = -np.eye(nx)
+            beq[r] = -c[k]
+        if x0 is not None:
+            Aeq[N * nx:, xi(0)] = np.eye(nx)
+            beq[N * nx:] = -np.asarray(x0, float).ravel()
+
+        A_in = np.zeros((N * ni + ni_f, nv))
+        b_in = np.zeros(N * ni + ni_f)
+        for k in range(N):
+            r = slice(k * ni, (k + 1) * ni)
+            A_in[r, xi(k)] = Gx
+            A_in[r, ui(k)] = Gu
+            b_in[r] = h[k]
+        A_in[N * ni:, xi(N)] = Gf
+        b_in[N * ni:] = hf
+        return H, f, A_in, b_in, Aeq, beq
+
+    def _export_quadprog(self, x0, solve_ret: dict):
+        """Dump the current QP + its solution as a MATLAB quadprog problem
+        (fields match the reference's savemat at qp_jit.py:926-941)."""
+        import os
+
+        from scipy.io import savemat
+
+        os.makedirs(self.export_dir, exist_ok=True)
+        H, f, A_in, b_in, Aeq, beq = self.densify(x0)
+        nv = H.shape[0]
+        k = self._export_counter
+        self._export_counter += 1
+        out_path = os.path.join(self.export_dir, f"qp_export_{k:06d}.mat")
+        savemat(out_path, {
+            "H": H,
+            "f": f,
+            "A": A_in,
+            "b": b_in,
+            "Aeq": Aeq,
+            "beq": beq,
+            "lb": np.full(nv, -np.inf),
+            "ub": np.full(nv, np.inf),
+            "x0": np.asarray(x0, float).ravel(),
+            "x_sol": np.asarray(solve_ret["primal_vec"], float).ravel(),
+            "x_traj": np.asarray(solve_ret["primal_x"], float),
+            "u_traj": np.asarray(solve_ret["primal_u"], float),
+            "cost": float(solve_ret["cost"]),
+            "backend": np.array(self.backend),
+            "dimensions": np.array([self.m.nx, self.m.nu, self.N], np.int32),
+        })
+        if self.verbose:
+            print(f"Saved quadprog export to {out_path}")
+        return out_path

@@ -100,3 +100,43 @@ def test_frontend_reset_lbg_clears_equality_offsets():
     qp.reset_ubg()
     back = qp.solve(x0)
     np.testing.assert_allclose(back["primal_x"], ref["primal_x"], atol=1e-9)
+
+
+def test_frontend_quadprog_export(tmp_path):
+    """export_standard_QP dumps every successful solve as a MATLAB quadprog
+    problem (reference qp_jit.py:36,477,884-943): same field names, and the
+    stored solution must be the optimum of the stored standard-form QP."""
+    from scipy.io import loadmat
+
+    from tests.oracles import dense_qp_reference
+
+    m = _lti()
+    qp = QP(6, np.eye(2), 0.1 * np.eye(1), m, 5 * np.eye(2),
+            export_standard_QP=True, export_dir=str(tmp_path))
+    x0 = np.array([-3.0, -0.5])
+    sol = qp.solve(x0)
+    assert sol["success"]
+    qp.solve(np.array([-2.0, 0.5]))
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert files == ["qp_export_000000.mat", "qp_export_000001.mat"]
+
+    d = loadmat(tmp_path / "qp_export_000000.mat")
+    for key in ("H", "f", "A", "b", "Aeq", "beq", "lb", "ub", "x0",
+                "x_sol", "x_traj", "u_traj", "cost", "backend", "dimensions"):
+        assert key in d, key
+    y = d["x_sol"].ravel()
+    H, f = d["H"], d["f"].ravel()
+    # stored solution is feasible for the stored problem
+    np.testing.assert_allclose(d["Aeq"] @ y, d["beq"].ravel(), atol=1e-7)
+    assert np.all(d["A"] @ y <= d["b"].ravel() + 1e-7)
+    # stored cost is the quadprog objective at the solution
+    np.testing.assert_allclose(
+        0.5 * y @ H @ y + f @ y, float(d["cost"]), rtol=1e-6, atol=1e-8
+    )
+    # and it is the OPTIMUM: an independent dense solve agrees
+    y_ref, cost_ref, status = dense_qp_reference(
+        H / 2, f, d["Aeq"], d["beq"].ravel(), d["A"], d["b"].ravel()
+    )
+    assert status == 0
+    np.testing.assert_allclose(y, y_ref, atol=1e-5)
+    np.testing.assert_allclose(float(d["cost"]), cost_ref, rtol=1e-5, atol=1e-7)
