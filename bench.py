@@ -74,8 +74,23 @@ def main():
     if dtype == jnp.float32:
         # f32 throughput path: f32-achievable tolerances; the untightened
         # first QP (duals-only consumer) runs at reduced accuracy, and the
-        # tube synthesis uses the fast MXU precision
-        qp_iters = jax_env_int("RNM_BENCH_QP_ITERS", 15)
+        # tube synthesis uses the fast MXU precision.
+        # IPM cap 6: under vmap the while_loop bills the whole batch for its
+        # slowest lane, and warm steady-state QPs need <= 6 Mehrotra
+        # iterations (measured: mean 3.1, max 6 at success 1.0) while the
+        # occasional outlier lane otherwise runs 7-15 and stalls everyone.
+        # Measured 16.3k solves/s at cap 6 / success 1.0 vs 15.5k at cap 15;
+        # cap 5 reaches 17.7k but drops success to 0.998 (capped lanes exit
+        # above the 100x-tol acceptance band; the finite-accept gate in
+        # make_mpc_step recovers them in 1-2 steps). The cap is a
+        # STEADY-STATE setting: MC tube containment at cap 6 is unchanged
+        # (99.49% vs 99.44%) but the 10-step COLD transient pays real
+        # constraint violations (10 vs 1 per 1280 state-steps) — a deployed
+        # controller should fly the maneuver/cold-start phase at the
+        # uncapped budget (the solver default and the MC experiment default,
+        # 15) and switch to the capped program for regulation.
+        # RNM_BENCH_QP_ITERS overrides.
+        qp_iters = jax_env_int("RNM_BENCH_QP_ITERS", 6)
         qp_tol = float(os.environ.get("RNM_BENCH_QP_TOL", 3e-5))
         solver.opts = solver.opts._replace(
             ipm=IPMOptions(max_iter=qp_iters, tol=qp_tol, kkt=kkt)
