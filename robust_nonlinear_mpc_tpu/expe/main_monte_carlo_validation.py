@@ -28,7 +28,8 @@ FOLDER = "monte_carlo_validation"
 
 
 def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
-             recycle=False, streaming=False, warm_qp=False, qp_iters=15):
+             recycle=False, streaming=False, warm_qp=False, qp_iters=15,
+             kkt="riccati"):
     if device == "cpu":
         setup("cpu", x64=True, host_devices=8)
     else:
@@ -92,7 +93,7 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         # caps the vmapped while_loop at 6 so the batch never pays a 7-15
         # iteration outlier lane; capped lanes are accepted when finite)
         solver.opts = solver.opts._replace(
-            ipm=IPMOptions(max_iter=int(qp_iters), tol=3e-5)
+            ipm=IPMOptions(max_iter=int(qp_iters), tol=3e-5, kkt=kkt)
         )
         solver.opts = solver.opts._replace(
             sqp=SQPOptions(ipm=IPMOptions(max_iter=15, tol=3e-5),
@@ -172,8 +173,10 @@ if __name__ == "__main__":
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--warm-qp", action="store_true", dest="warm_qp")
     p.add_argument("--qp-iters", type=int, default=15, dest="qp_iters")
+    p.add_argument("--kkt", default="riccati",
+                   choices=["riccati", "condensed", "pallas"])
     args = p.parse_args()
     if args.run:
         generate(args.system, args.scenarios, args.steps, args.device, args.seed,
                  recycle=args.recycle, streaming=args.streaming,
-                 warm_qp=args.warm_qp, qp_iters=args.qp_iters)
+                 warm_qp=args.warm_qp, qp_iters=args.qp_iters, kkt=args.kkt)

@@ -117,14 +117,22 @@ class IPMOptions(NamedTuple):
     #                 recursive block-Schur (utils.numerics.spd_inverse) with
     #                 Newton-Schulz polish, and runs two exact-matvec
     #                 refinement passes.
+    #   "pallas"    — same Riccati factorization, executed as fused Pallas
+    #                 TPU kernels with the batch on the 128-lane axis
+    #                 (ops/pallas_qp.py): one kernel per Newton solve
+    #                 instead of ~60 XLA scan steps per IPM iteration.
+    #                 Requires a BATCHED (vmapped) solve on TPU; unbatched
+    #                 calls fall back to equivalent XLA scans, and the CPU
+    #                 backend runs the kernels in interpret mode (tests).
     #
-    # MEASURED AND REJECTED as the default (v5e, rocket N=15, B=256, f32):
-    # a condensed iteration costs ~13.8 ms vs ~4.1 ms for riccati — the
-    # dense Hq/M'WM assembly and inverse polish far outweigh the saved scan
-    # latency — and cond(H) ~ 1/mu^2 makes the explicit inverse f32-unstable
-    # once mu < ~1e-4 (the Riccati recursion never forms these products and
-    # stays stable to convergence). Exact to ~1e-12 vs riccati in f64 at
-    # moderate conditioning (tests/test_qp_ipm.py); kept for research use.
+    # "condensed" MEASURED AND REJECTED as the default (v5e, rocket N=15,
+    # B=256, f32): a condensed iteration costs ~13.8 ms vs ~4.1 ms for
+    # riccati — the dense Hq/M'WM assembly and inverse polish far outweigh
+    # the saved scan latency — and cond(H) ~ 1/mu^2 makes the explicit
+    # inverse f32-unstable once mu < ~1e-4 (the Riccati recursion never
+    # forms these products and stays stable to convergence). Exact to
+    # ~1e-12 vs riccati in f64 at moderate conditioning
+    # (tests/test_qp_ipm.py); kept for research use.
     kkt: str = "riccati"
 
 
@@ -173,6 +181,21 @@ def _max_abs(*arrs):
 # ----------------------------------------------------------------------
 # Riccati factorization (once per IPM iteration)
 # ----------------------------------------------------------------------
+def _curvature(stat: QPStatics, W, W_f):
+    """Stage Hessians of the reduced KKT system after eliminating
+    (dlam, ds): Cxx = Hx + Gx' W Gx, Cuu = Hu + Gu' W Gu, Cxu = Gx' W Gu,
+    PN = HxN + Gf' W_f Gf (shared by the riccati and pallas paths)."""
+    Gx, Gu, Gf = stat.Gx, stat.Gu, stat.Gf
+    dp = qp_dir_prec()
+    WGx = W[:, :, None] * Gx
+    WGu = W[:, :, None] * Gu
+    Cxx = stat.Hx + jnp.einsum("kri,krj->kij", Gx, WGx, precision=dp)
+    Cuu = stat.Hu + jnp.einsum("kru,krv->kuv", Gu, WGu, precision=dp)
+    Cxu = jnp.einsum("kri,krv->kiv", Gx, WGu, precision=dp)
+    PN = stat.HxN + Gf.T @ (W_f[:, None] * Gf)
+    return Cxx, Cuu, Cxu, PN
+
+
 def _factorize_with_presolve(stat: QPStatics, data: QPData, W, W_f,
                              rbx, rbxN, rbu, req):
     """Backward Riccati factorization of the reduced (equality-only) KKT
@@ -190,15 +213,9 @@ def _factorize_with_presolve(stat: QPStatics, data: QPData, W, W_f,
     Returns (fact, (kff, p_next_seq)); `fact` feeds `_solve_newton` for the
     corrector re-solve, (kff, p_next_seq) feed `_forward_sweep`.
     """
-    Gx, Gu, Gf = stat.Gx, stat.Gu, stat.Gf
     dp = qp_dir_prec()
     dmm = lambda a, b: jnp.matmul(a, b, precision=dp)
-    WGx = W[:, :, None] * Gx
-    WGu = W[:, :, None] * Gu
-    Cxx = stat.Hx + jnp.einsum("kri,krj->kij", Gx, WGx, precision=dp)
-    Cuu = stat.Hu + jnp.einsum("kru,krv->kuv", Gu, WGu, precision=dp)
-    Cxu = jnp.einsum("kri,krv->kiv", Gx, WGu, precision=dp)
-    PN = stat.HxN + Gf.T @ (W_f[:, None] * Gf)
+    Cxx, Cuu, Cxu, PN = _curvature(stat, W, W_f)
     nx = req.shape[1]
 
     def bwd(carry, blocks):
@@ -444,9 +461,10 @@ def solve_qp(
     qp_jit.py:303 warm_start=False; warm starting only changes iteration
     counts, never the optimum of this strictly convex QP).
     """
-    if opts.kkt not in ("riccati", "condensed"):
+    if opts.kkt not in ("riccati", "condensed", "pallas"):
         raise ValueError(
-            f"IPMOptions.kkt must be 'riccati' or 'condensed', got {opts.kkt!r}"
+            "IPMOptions.kkt must be 'riccati', 'condensed' or 'pallas', "
+            f"got {opts.kkt!r}"
         )
     N, nx = data.c.shape
     nu = data.B.shape[2]
@@ -554,6 +572,19 @@ def solve_qp(
             csolve, dnu_from = _condensed_newton(stat, pre, W, W_f, req)
             nsolve = lambda rbx_, rbxN_, rbu_: csolve(rbx_, rbxN_, rbu_) + (None,)
             dXa, dUa, _ = nsolve(rbx, rbxN, rbu)
+        elif opts.kkt == "pallas":
+            from robust_nonlinear_mpc_tpu.ops.pallas_qp import (
+                default_newton_kernels,
+            )
+
+            newton_fp, newton_rs = default_newton_kernels()
+            Cxx, Cuu, Cxu, PN = _curvature(stat, W, W_f)
+            dXa, dUa, _, fact_p = newton_fp(
+                data.A, data.B, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu, req
+            )
+            nsolve = lambda rbx_, rbxN_, rbu_: newton_rs(
+                data.A, data.B, fact_p, rbx_, rbxN_, rbu_, req
+            )
         else:
             # predictor rhs is known before the factorization: fuse the
             # factorization scan with the predictor backward sweep
