@@ -69,15 +69,21 @@ def bench_system(system: str, B: int, n_rep: int, recycle: bool, streaming: bool
         raise ValueError(system)
 
     solver.opts = solver.opts._replace(verbose=False)
-    if dtype == jnp.float32:
-        solver.opts = solver.opts._replace(
-            ipm=IPMOptions(max_iter=15, tol=3e-5),
-            ipm_first=IPMOptions(max_iter=8, tol=1e-3),
-        )
-        set_tube_precision("default")
     import os
 
     on_cpu = jax.devices()[0].platform == "cpu"
+    # same Newton-solver policy as bench.py: fused Pallas kernels on TPU
+    # (ops/pallas_qp.py), XLA riccati scans on CPU; RNM_BENCH_KKT overrides
+    kkt = os.environ.get("RNM_BENCH_KKT", "riccati" if on_cpu else "pallas")
+    solver.opts = solver.opts._replace(
+        ipm=solver.opts.ipm._replace(kkt=kkt)
+    )
+    if dtype == jnp.float32:
+        solver.opts = solver.opts._replace(
+            ipm=IPMOptions(max_iter=15, tol=3e-5, kkt=kkt),
+            ipm_first=IPMOptions(max_iter=8, tol=1e-3, kkt=kkt),
+        )
+        set_tube_precision("default")
     solver.opts = solver.opts._replace(
         streaming_response=streaming, recycle_eta=recycle,
         # same kernel policy as bench.py: column-blocked on TPU, folded on

@@ -58,7 +58,7 @@ def main():
 
     dtype = jnp.zeros(0).dtype
     m, solver = make_rocket_problem(N=15)
-    kkt = os.environ.get("RNM_BENCH_KKT", "riccati")
+    kkt = os.environ.get("RNM_BENCH_KKT", "riccati" if on_cpu else "pallas")
     if dtype == jnp.float32:
         set_tube_precision("default")
         ipm_first = IPMOptions(max_iter=8, tol=1e-3, kkt=kkt)
