@@ -80,7 +80,25 @@ def select_sls_kernels(block: int):
     block > 0: the triangular column-blocked variants with stage segments of
     `block` — see the caveat above before using them anywhere XLA:CPU
     compiles deeply nested programs.
+    block = -1: lane-packed backward (ops/sls_packed.py — block-diagonal
+    GEMM packing of 7 instances per MXU pass; needs a BATCHED solve, falls
+    back to folded unbatched) with the column-blocked streaming response.
     """
+    if block == -1:
+        from robust_nonlinear_mpc_tpu.ops.sls_packed import backward_K_packed
+
+        def bwd_packed(A, B, Gmat, Gf, eta, eta_f, regs):
+            # K-only (None stands in for the unused S output; the solver
+            # consumes `bwd_solve(...)[1]` only)
+            return None, backward_K_packed(
+                A, B, Gmat, Gf, eta, eta_f,
+                regs.Q_reg, regs.R_reg, regs.Q_reg_f,
+            )
+
+        return (
+            bwd_packed,
+            functools.partial(response_streaming_blocked, block=2),
+        )
     if block > 0:
         return (
             functools.partial(backward_solve_blocked, block=block),
