@@ -21,10 +21,27 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# XLA compiles dominate the suite runtime on this CPU; persist them across
-# runs (repo-local, gitignored)
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: the persistent compilation cache is deliberately NOT enabled for the
+# suite. With 130+ tests' compiles in one process, this jaxlib's zstandard
+# cache serializer reliably crashes (SIGSEGV/SIGABRT in
+# compilation_cache.{get,put}_executable_and_time after ~125 tests,
+# reproducible with both cold and warm caches as of 2026-08-19); the bench
+# and tool entry points still opt in individually where one process only
+# compiles a handful of programs.
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the tool tests (the largest XLA:CPU compiles — full solver
+    programs via tools/precompile, stage_profile, bench_sweep) FIRST.
+
+    This jaxlib's CPU compiler reliably aborts (SIGSEGV/SIGABRT inside
+    backend_compile_and_load; initially misattributed to the persistent
+    cache's zstandard serializer, which is where the crash surfaced first)
+    when a large compilation lands after ~125 tests' accumulated
+    compilations in one process. Fronting the big compiles keeps the suite
+    inside the envelope; the stable sort preserves relative order
+    otherwise. (Measured 2026-08-19: the same suite crashes at test ~129
+    alphabetically, passes reordered.)"""
+    items.sort(key=lambda it: 0 if "test_utils_io" in it.nodeid else 1)

@@ -653,3 +653,694 @@ def default_newton_kernels():
             interpret=jax.default_backend() == "cpu"
         )
     return _KERNELS
+
+
+# ----------------------------------------------------------------------
+# fused whole-iteration kernel ("pallas_iter"): one Mehrotra predictor-
+# corrector iteration per kernel — rhs assembly, factorization, both Newton
+# solves, slack/dual recovery, fraction-to-boundary line searches, the
+# centering sigma, the state update, the fresh residuals and the KKT scalar
+# all run in-kernel (everything is per-lane math); only the lam/s weights,
+# curvature Gram GEMMs (shared-operand MXU work — measured faster in XLA)
+# and the done-flag bookkeeping stay outside.
+#
+# STATUS — EXPERIMENTAL, not the default: numerically verified end to end
+# (identical iterates/iteration counts vs kkt="riccati" in interpret mode,
+# tests/test_pallas_qp.py), but compiling the full MPC step with this
+# kernel nested in vmap+while_loop exceeded a 28-minute remote-compile
+# window on this environment — impractical vs the 2-kernel "pallas" mode
+# (~6 min cold compile, 35.7k solves/s). Revisit on an environment with
+# local compilation before investing further; the expected additional win
+# over "pallas" is the ~1.3 ms/iteration of XLA glue between the kernels.
+# ----------------------------------------------------------------------
+def _shared_mv_t(G, t):
+    """out[i, b] = sum_r G[r, i] t[r, b] for a SHARED (n_r, n_i) matrix."""
+    return jnp.sum(G[:, :, None] * t[:, None, :], axis=0)
+
+
+def _shared_mv(G, x):
+    """out[r, b] = sum_i G[r, i] x[i, b] (sublane reduction)."""
+    return jnp.sum(G[:, :, None] * x[None, :, :], axis=1)
+
+
+def _alpha_ftb(pairs, tau, bt, dtype):
+    """Per-lane fraction-to-boundary step: min over all (v, dv) entries of
+    -tau*v/dv where dv < 0, capped at 1. pairs: list of (v, dv) tensors with
+    the lane axis LAST."""
+    alpha = jnp.ones((1, bt), dtype)
+    for v, dv in pairs:
+        ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
+        red = jnp.min(ratio.reshape(-1, bt), axis=0, keepdims=True)
+        alpha = jnp.minimum(alpha, tau * red)
+    return alpha
+
+
+def _maxabs_lane(ts, bt):
+    m = None
+    for t in ts:
+        r = jnp.max(jnp.abs(t).reshape(-1, bt), axis=0, keepdims=True)
+        m = r if m is None else jnp.maximum(m, r)
+    return m
+
+
+def _ipm_iter_kernel(
+    # problem data (batched, lane layout)
+    At_ref, AtT_ref, Bt_ref, BtT_ref,     # (N,nx,nx,bt) x2, (N,nx,nu,bt), (N,nu,nx,bt)
+    c_ref,      # (N, nx, bt)
+    qx_ref,     # (N+1, nx, bt)
+    qu_ref,     # (N, nu, bt)
+    h_ref,      # (N, ni, bt)
+    hf_ref,     # (ni_f, bt)
+    # statics (shared)
+    Gx_ref,     # (N, ni, nx)
+    Gu_ref,     # (N, ni, nu)
+    Gf_ref,     # (ni_f, nx)
+    Hx_ref,     # (N, nx, nx)
+    Hu_ref,     # (N, nu, nu)
+    HxN_ref,    # (nx, nx)
+    # per-iteration curvature (batched; assembled in XLA)
+    Cxx_ref,    # (N, nx, nx, bt)
+    CxuT_ref,   # (N, nu, nx, bt)
+    Cuu_ref,    # (N, nu, nu, bt)
+    PN_ref,     # (nx, nx, bt)
+    # iterate state (batched)
+    X_ref,      # (N+1, nx, bt)
+    U_ref,      # (N, nu, bt)
+    lam_ref,    # (N, ni, bt)
+    s_ref,      # (N, ni, bt)
+    lamf_ref,   # (ni_f, bt)
+    sf_ref,     # (ni_f, bt)
+    nu_ref,     # (N, nx, bt)
+    # carried residuals (batched; invariant: residuals AT the iterate)
+    req_ref,    # (N, nx, bt)
+    rineq_ref,  # (N, ni, bt)
+    rineqf_ref, # (ni_f, bt)
+    rx_ref,     # (N, nx, bt)  row 0 = 0
+    rxN_ref,    # (nx, bt)
+    ru_ref,     # (N, nu, bt)
+    scalep_ref, # (1, bt)
+    done_ref,   # (1, bt)  float: 1.0 = frozen
+    # outputs
+    Xo_ref, Uo_ref, lamo_ref, so_ref, lamfo_ref, sfo_ref, nuo_ref,
+    reqo_ref, rineqo_ref, rineqfo_ref, rxo_ref, rxNo_ref, ruo_ref,
+    res_ref,    # (1, bt) relative KKT at the output iterate
+    bad_ref,    # (1, bt) 1.0 where the step produced non-finite values
+    # scratch
+    P_ref,      # (nx, nx, bt)
+    PA_ref, PB_ref,                       # (nx, nx, bt), (nx, nu, bt)
+    K_ref,      # (N, nu, nx, bt)
+    FxuT_s,     # (N, nu, nx, bt)
+    Fuu_s,      # (N, nuu, bt)
+    Fiv_s,      # (N, nuu, bt)
+    Pseq_s,     # (N, nx, nx, bt)
+    kff_s,      # (N, nu, bt)
+    pn_s,       # (N, nx, bt)
+    dX_s,       # (N+1, nx, bt)
+    dU_s,       # (N, nu, bt)
+    dnu_s,      # (N, nx, bt)
+    dsa_s,      # (N, ni, bt)
+    dlama_s,    # (N, ni, bt)
+    t_ref,      # (N, ni, bt)   reduced-rhs weights (ref: fori-sliceable)
+    rcomp_ref,  # (N, ni, bt)   complementarity rhs (ref: fori-sliceable)
+    *, N, nx, nu, ni, ni_f, bt, tau, n_comp,
+):
+    dtype = P_ref.dtype
+    tri = _tri(nu)
+    nuu = len(tri)
+
+    lam = lam_ref[...]
+    s = s_ref[...]
+    lamf = lamf_ref[...]
+    sf = sf_ref[...]
+    rineq = rineq_ref[...]
+    rineqf = rineqf_ref[...]
+
+    mu = (
+        jnp.sum((lam * s).reshape(-1, bt), axis=0, keepdims=True)
+        + jnp.sum(lamf * sf, axis=0, keepdims=True)
+    ) / n_comp
+
+    def backward(t_f, store_factors):
+        """Reverse sweep: rhs assembly + (optionally) factorization + the
+        feedforward solve. Stage weights read from t_ref (set by caller);
+        t_f (ni_f, bt)."""
+        rbxN = rxN_ref[...] + _shared_mv_t(Gf_ref[...], t_f)
+        if store_factors:
+            P_ref[...] = PN_ref[...] + 0.0
+        P_ref0 = P_ref  # alias for clarity
+
+        def bwd(si, p):
+            k = N - 1 - si
+            t_k = t_ref[k]
+            rbu_k = ru_ref[k] + _shared_mv_t(Gu_ref[k], t_k)
+            is0 = (k == 0)
+            rbx_k = jnp.where(
+                is0,
+                jnp.zeros((nx, bt), dtype),
+                rx_ref[k] + _shared_mv_t(Gx_ref[k], t_k),
+            )
+            if store_factors:
+                P = P_ref0[...]
+                Pseq_s[k] = P
+                pn_s[k] = p
+                PA_ref[...] = _mm_rows(
+                    lambda l: P_ref0[l], lambda l: At_ref[k, l],
+                    nx, (nx, nx, bt), dtype,
+                )
+                PB_ref[...] = _mm_rows(
+                    lambda l: P_ref0[l], lambda l: Bt_ref[k, l],
+                    nx, (nx, nu, bt), dtype,
+                )
+                Fxx = Cxx_ref[k] + _mm_rows(
+                    lambda l: At_ref[k, l], lambda l: PA_ref[l],
+                    nx, (nx, nx, bt), dtype,
+                )
+                FxuT = CxuT_ref[k] + _mm_rows(
+                    lambda l: Bt_ref[k, l], lambda l: PA_ref[l],
+                    nx, (nu, nx, bt), dtype,
+                )
+                Fuu = Cuu_ref[k] + _mm_rows(
+                    lambda l: Bt_ref[k, l], lambda l: PB_ref[l],
+                    nx, (nu, nu, bt), dtype,
+                )
+                FxuT_s[k] = FxuT
+                Hc = _sym_slabs(Fuu, nu)
+                Fiv = _spd_inv_slabs(Hc, nu)
+                Fuu_s[k] = jnp.concatenate([Hc[uv] for uv in tri], axis=0)
+                Fiv_s[k] = jnp.concatenate([Fiv[uv] for uv in tri], axis=0)
+                w = p + _mv_t(P, req_ref[k])
+                f_u = rbu_k + _mv_t(Bt_ref[k], w)
+                K_rows = _refined_rows(
+                    Hc, Fiv, [FxuT[u] for u in range(nu)], nu
+                )
+                K_rows = [-r for r in K_rows]
+                fu_rows = [_slab(f_u, u, nu) for u in range(nu)]
+                kff_rows = [-r for r in _refined_rows(Hc, Fiv, fu_rows, nu)]
+                K_ref[k] = jnp.concatenate([r[None] for r in K_rows], axis=0)
+                kff_s[k] = jnp.concatenate(kff_rows, axis=0)
+                P_new = Fxx
+                p_new = rbx_k + _mv_t(At_ref[k], w)
+                for u in range(nu):
+                    P_new = P_new + FxuT[u][:, None, :] * K_rows[u][None, :, :]
+                    p_new = p_new + FxuT[u] * kff_rows[u]
+                P_ref0[...] = P_new
+                return p_new
+            else:
+                Pn = Pseq_s[k]
+                pn_s[k] = p
+                w = p + _mv_t(Pn, req_ref[k])
+                f_u = rbu_k + _mv_t(Bt_ref[k], w)
+                fuu_k = Fuu_s[k]
+                fiv_k = Fiv_s[k]
+                Hc = {uv: _slab(fuu_k, i, nuu) for i, uv in enumerate(tri)}
+                Fiv = {uv: _slab(fiv_k, i, nuu) for i, uv in enumerate(tri)}
+                fu_rows = [_slab(f_u, u, nu) for u in range(nu)]
+                kff_rows = [-r for r in _refined_rows(Hc, Fiv, fu_rows, nu)]
+                kff_s[k] = jnp.concatenate(kff_rows, axis=0)
+                FxuT = FxuT_s[k]
+                p_new = rbx_k + _mv_t(At_ref[k], w)
+                for u in range(nu):
+                    p_new = p_new + FxuT[u] * kff_rows[u]
+                return p_new
+
+        jax.lax.fori_loop(0, N, bwd, rbxN)
+
+    def forward():
+        def fwd(k, dx):
+            Kk = K_ref[k]
+            kffk = kff_s[k]
+            du_rows = [
+                jnp.sum(Kk[u] * dx, axis=0, keepdims=True)
+                + _slab(kffk, u, nu)
+                for u in range(nu)
+            ]
+            dxn = _mv_t(AtT_ref[k], dx) + req_ref[k]
+            BtT = BtT_ref[k]
+            for u in range(nu):
+                dxn = dxn + BtT[u] * du_rows[u]
+            dnu = -(_mv_t(Pseq_s[k], dxn) + pn_s[k])
+            dX_s[k] = dx
+            dU_s[k] = jnp.concatenate(du_rows, axis=0)
+            dnu_s[k] = dnu
+            return dxn
+
+        dxN = jax.lax.fori_loop(0, N, fwd, jnp.zeros((nx, bt), dtype))
+        dX_s[N] = dxN
+
+    def recover_ds(rcomp_f):
+        """(ds, dlam, ds_f, dlam_f) at the current dX_s/dU_s; the stage
+        complementarity rhs is read from rcomp_ref (set by caller)."""
+        def per_stage(k, _):
+            dGz = _shared_mv(Gx_ref[k], dX_s[k]) + _shared_mv(
+                Gu_ref[k], dU_s[k]
+            )
+            ds_k = -rineq_ref[k] - dGz
+            dsa_s[k] = ds_k
+            dlama_s[k] = -(rcomp_ref[k] + lam_ref[k] * ds_k) / s_ref[k]
+            return 0
+
+        jax.lax.fori_loop(0, N, per_stage, 0)
+        dGzf = _shared_mv(Gf_ref[...], dX_s[N])
+        ds_f = -rineqf - dGzf
+        dlam_f = -(rcomp_f + lamf * ds_f) / sf
+        return ds_f, dlam_f
+
+    # ---- predictor (affine) ----
+    rcomp_a = lam * s
+    rcomp_af = lamf * sf
+    t_ref[...] = (lam * rineq - rcomp_a) / s
+    rcomp_ref[...] = rcomp_a
+    t_af = (lamf * rineqf - rcomp_af) / sf
+    backward(t_af, store_factors=True)
+    forward()
+    dsf_a, dlamf_a = recover_ds(rcomp_af)
+    dsa = dsa_s[...]
+    dlama = dlama_s[...]
+
+    alpha_p_a = _alpha_ftb([(s, dsa), (sf, dsf_a)], 1.0, bt, dtype)
+    alpha_d_a = _alpha_ftb([(lam, dlama), (lamf, dlamf_a)], 1.0, bt, dtype)
+    mu_aff = (
+        jnp.sum(((s + alpha_p_a * dsa) * (lam + alpha_d_a * dlama)
+                 ).reshape(-1, bt), axis=0, keepdims=True)
+        + jnp.sum((sf + alpha_p_a * dsf_a) * (lamf + alpha_d_a * dlamf_a),
+                  axis=0, keepdims=True)
+    ) / n_comp
+    sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+    # ---- corrector ----
+    rcomp_c = lam * s + dsa * dlama - sigma * mu
+    rcomp_cf = lamf * sf + dsf_a * dlamf_a - sigma * mu
+    t_ref[...] = (lam * rineq - rcomp_c) / s
+    rcomp_ref[...] = rcomp_c
+    t_cf = (lamf * rineqf - rcomp_cf) / sf
+    backward(t_cf, store_factors=False)
+    forward()
+    dsf_c, dlamf_c = recover_ds(rcomp_cf)
+    ds = dsa_s[...]
+    dlam = dlama_s[...]
+
+    alpha_p = _alpha_ftb([(s, ds), (sf, dsf_c)], tau, bt, dtype)
+    alpha_d = _alpha_ftb([(lam, dlam), (lamf, dlamf_c)], tau, bt, dtype)
+
+    # ---- update, frozen-lane freeze (done lanes keep the old iterate) ----
+    keep = done_ref[...] > 0.5           # (1, bt)
+    def sel3(new, old):
+        return jnp.where(keep[None] if new.ndim == 3 else keep, old, new)
+
+    X_n = sel3(X_ref[...] + alpha_p[None] * dX_s[...], X_ref[...])
+    U_n = sel3(U_ref[...] + alpha_p[None] * dU_s[...], U_ref[...])
+    s_n = sel3(s + alpha_p[None] * ds, s)
+    sf_n = sel3(sf + alpha_p * dsf_c, sf)
+    lam_n = sel3(lam + alpha_d[None] * dlam, lam)
+    lamf_n = sel3(lamf + alpha_d * dlamf_c, lamf)
+    nu_n = sel3(nu_ref[...] + alpha_d[None] * dnu_s[...], nu_ref[...])
+    # stage the selected iterate in the output refs so the residual loop
+    # can ref-slice it (value dynamic_slice is unsupported)
+    Xo_ref[...] = X_n
+    Uo_ref[...] = U_n
+    so_ref[...] = s_n
+    lamo_ref[...] = lam_n
+    nuo_ref[...] = nu_n
+
+    # ---- fresh residuals at the selected iterate (per stage) ----
+    def resid(k, _):
+        x_k = Xo_ref[k]
+        x_k1 = Xo_ref[k + 1]
+        u_k = Uo_ref[k]
+        lam_k = lamo_ref[k]
+        nu_k = nuo_ref[k]
+        s_k = so_ref[k]
+        reqo_ref[k] = (
+            _mv_t(AtT_ref[k], x_k) + _mv_t(BtT_ref[k], u_k)
+            + c_ref[k] - x_k1
+        )
+        rineqo_ref[k] = (
+            _shared_mv(Gx_ref[k], x_k) + _shared_mv(Gu_ref[k], u_k)
+            + s_k - h_ref[k]
+        )
+        # stationarity rows 1..N-1 (row 0 pinned to zero by convention);
+        # Hx symmetric so Hx x == Hx' x via the shared-matrix helper
+        HxX = _shared_mv_t(Hx_ref[k], x_k)
+        nu_km1 = nuo_ref[jnp.maximum(k - 1, 0)]
+        rx_k = (
+            HxX + qx_ref[k]
+            + _shared_mv_t(Gx_ref[k], lam_k)
+            + nu_km1
+            - _mv_t(At_ref[k], nu_k)
+        )
+        rxo_ref[k] = jnp.where(
+            k == 0, jnp.zeros((nx, bt), dtype), rx_k
+        )
+        HuU = _shared_mv_t(Hu_ref[k], u_k)
+        ruo_ref[k] = (
+            HuU + qu_ref[k]
+            + _shared_mv_t(Gu_ref[k], lam_k)
+            - _mv_t(Bt_ref[k], nu_k)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, N, resid, 0)
+    x_N = X_n[N]
+    rineqfo_ref[...] = _shared_mv(Gf_ref[...], x_N) + sf_n - hf_ref[...]
+    HxNx = _shared_mv_t(HxN_ref[...], x_N)
+    rxNo_ref[...] = (
+        HxNx + qx_ref[N]
+        + _shared_mv_t(Gf_ref[...], lamf_n)
+        + nu_n[N - 1]
+    )
+
+    def kkt(reqv, rineqv, rineqfv, rxv, rxNv, ruv, lamv, lamfv, sv, sfv):
+        gap = (
+            jnp.sum((lamv * sv).reshape(-1, bt), axis=0, keepdims=True)
+            + jnp.sum(lamfv * sfv, axis=0, keepdims=True)
+        ) / n_comp
+        scale_d = 1.0 + _maxabs_lane(
+            [qx_ref[...], qu_ref[...], lamv, lamfv], bt
+        )
+        res_p = _maxabs_lane([reqv, rineqv, rineqfv], bt) / scalep_ref[...]
+        res_d = _maxabs_lane([rxv, rxNv, ruv], bt) / scale_d
+        return jnp.maximum(jnp.maximum(res_p, res_d), gap / scale_d)
+
+    res_new = kkt(
+        reqo_ref[...], rineqo_ref[...], rineqfo_ref[...],
+        rxo_ref[...], rxNo_ref[...], ruo_ref[...],
+        lam_n, lamf_n, s_n, sf_n,
+    )
+    bad = ~jnp.isfinite(res_new)         # (1, bt)
+
+    def rev(new, old):
+        return jnp.where(bad[None] if new.ndim == 3 else bad, old, new)
+
+    Xo_ref[...] = rev(X_n, X_ref[...])
+    Uo_ref[...] = rev(U_n, U_ref[...])
+    so_ref[...] = rev(s_n, s)
+    sfo_ref[...] = rev(sf_n, sf)
+    lamo_ref[...] = rev(lam_n, lam)
+    lamfo_ref[...] = rev(lamf_n, lamf)
+    nuo_ref[...] = rev(nu_n, nu_ref[...])
+    reqo_ref[...] = rev(reqo_ref[...], req_ref[...])
+    rineqo_ref[...] = rev(rineqo_ref[...], rineq)
+    rineqfo_ref[...] = rev(rineqfo_ref[...], rineqf)
+    rxo_ref[...] = rev(rxo_ref[...], rx_ref[...])
+    rxNo_ref[...] = rev(rxNo_ref[...], rxN_ref[...])
+    ruo_ref[...] = rev(ruo_ref[...], ru_ref[...])
+    res_old = kkt(
+        req_ref[...], rineq, rineqf, rx_ref[...], rxN_ref[...], ru_ref[...],
+        lam, lamf, s, sf,
+    )
+    res_ref[...] = jnp.where(bad, res_old, res_new)
+    bad_ref[...] = bad.astype(dtype)
+
+
+def _ipm_iter_batched(A, B, c, qx, qu, h, hf, Gx, Gu, Gf, Hx, Hu, HxN,
+                      W, W_f, X, U, lam, s, lam_f, s_f, nu_dyn,
+                      req, rineq, rineq_f, rx_pad, rxN, ru, scale_p, done,
+                      *, tau, n_comp, b_tile=128, interpret=False):
+    """One fused Mehrotra iteration for the whole batch. Batched args lead
+    with the batch axis; Gx/Gu/Gf/Hx/Hu/HxN shared. Returns the updated
+    state, residual tensors (rx padded to N rows, row 0 = 0), the per-lane
+    relative KKT scalar and the non-finite-revert flag."""
+    Bc, N, nx, _ = A.shape
+    nu = B.shape[3]
+    ni = Gx.shape[1]
+    ni_f = Gf.shape[0]
+    dtype = A.dtype
+    nuu = nu * (nu + 1) // 2
+    b_tile = _eff_tile(b_tile, Bc)
+    pad = (-Bc) % b_tile
+    Bp = Bc + pad
+    _pad_b = _make_pad_b(pad)
+
+    # curvature in XLA (shared-operand MXU GEMMs — measured faster than any
+    # in-kernel assembly; see ROUND1.md), then lane layout
+    hp = jax.lax.Precision.HIGHEST
+    WGx = W[:, :, :, None] * Gx[None]
+    WGu = W[:, :, :, None] * Gu[None]
+    Cxx = Hx[None] + jnp.einsum("kri,bkrj->bkij", Gx, WGx, precision=hp)
+    Cuu = Hu[None] + jnp.einsum("kru,bkrv->bkuv", Gu, WGu, precision=hp)
+    CxuT = jnp.einsum("bkrv,kri->bkvi", WGu, Gx, precision=hp)
+    PN = HxN[None] + jnp.einsum(
+        "ri,brj->bij", Gf, W_f[:, :, None] * Gf[None], precision=hp
+    )
+
+    # padding lanes: keep cones strictly positive and dynamics benign
+    ones_pad = lambda x: jnp.concatenate(
+        [x, jnp.ones((pad,) + x.shape[1:], x.dtype)], axis=0
+    ) if pad else x
+    lam_p, s_p = ones_pad(lam), ones_pad(s)
+    lamf_p, sf_p = ones_pad(lam_f), ones_pad(s_f)
+    Cuu_p = Cuu if not pad else jnp.concatenate(
+        [Cuu, jnp.broadcast_to(jnp.eye(nu, dtype=dtype),
+                               (pad, N, nu, nu))], axis=0
+    )
+    done_p = jnp.concatenate(
+        [done.astype(dtype), jnp.ones((pad,), dtype)], axis=0
+    ) if pad else done.astype(dtype)
+    scale_pp = ones_pad(scale_p.astype(dtype))
+
+    L = _lanes
+    args = [
+        _pad_b(L(A)), _pad_b(L(jnp.swapaxes(A, 2, 3))),
+        _pad_b(L(B)), _pad_b(L(jnp.swapaxes(B, 2, 3))),
+        _pad_b(L(c)), _pad_b(L(qx)), _pad_b(L(qu)),
+        _pad_b(L(h)), _pad_b(L(hf)),
+        jnp.asarray(Gx, dtype), jnp.asarray(Gu, dtype), jnp.asarray(Gf, dtype),
+        jnp.asarray(Hx, dtype), jnp.asarray(Hu, dtype), jnp.asarray(HxN, dtype),
+        _pad_b(L(Cxx)), _pad_b(L(CxuT)), L(Cuu_p), _pad_b(L(PN)),
+        _pad_b(L(X)), _pad_b(L(U)), L(lam_p), L(s_p), L(lamf_p), L(sf_p),
+        _pad_b(L(nu_dyn)),
+        _pad_b(L(req)), _pad_b(L(rineq)), _pad_b(L(rineq_f)),
+        _pad_b(L(rx_pad)), _pad_b(L(rxN)), _pad_b(L(ru)),
+        scale_pp[None, :], done_p[None, :],
+    ]
+
+    sp = _common_specs(N, nx, nu, b_tile)
+    bmap2 = lambda bi: (0, bi)
+    bmap3 = lambda bi: (0, 0, bi)
+    shared = lambda shape: pl.BlockSpec(shape, lambda bi: (0,) * len(shape))
+    vec_ni = pl.BlockSpec((N, ni, b_tile), bmap3)
+    vec_nif = pl.BlockSpec((ni_f, b_tile), bmap2)
+    one = pl.BlockSpec((1, b_tile), bmap2)
+    in_specs = [
+        sp["At"], sp["At"], sp["Bt"], sp["BtT"],
+        sp["vecx"], sp["dX"], sp["vecu"],
+        vec_ni, vec_nif,
+        shared((N, ni, nx)), shared((N, ni, nu)), shared((ni_f, nx)),
+        shared((N, nx, nx)), shared((N, nu, nu)), shared((nx, nx)),
+        sp["At"], sp["BtT"],
+        pl.BlockSpec((N, nu, nu, b_tile), lambda bi: (0, 0, 0, bi)),
+        pl.BlockSpec((nx, nx, b_tile), bmap3),
+        sp["dX"], sp["vecu"], vec_ni, vec_ni, vec_nif, vec_nif,
+        sp["vecx"],
+        sp["vecx"], vec_ni, vec_nif, sp["vecx"], sp["x1"], sp["vecu"],
+        one, one,
+    ]
+    out_specs = [
+        sp["dX"], sp["vecu"], vec_ni, vec_ni, vec_nif, vec_nif, sp["vecx"],
+        sp["vecx"], vec_ni, vec_nif, sp["vecx"], sp["x1"], sp["vecu"],
+        one, one,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N + 1, nx, Bp), dtype),
+        jax.ShapeDtypeStruct((N, nu, Bp), dtype),
+        jax.ShapeDtypeStruct((N, ni, Bp), dtype),
+        jax.ShapeDtypeStruct((N, ni, Bp), dtype),
+        jax.ShapeDtypeStruct((ni_f, Bp), dtype),
+        jax.ShapeDtypeStruct((ni_f, Bp), dtype),
+        jax.ShapeDtypeStruct((N, nx, Bp), dtype),
+        jax.ShapeDtypeStruct((N, nx, Bp), dtype),
+        jax.ShapeDtypeStruct((N, ni, Bp), dtype),
+        jax.ShapeDtypeStruct((ni_f, Bp), dtype),
+        jax.ShapeDtypeStruct((N, nx, Bp), dtype),
+        jax.ShapeDtypeStruct((nx, Bp), dtype),
+        jax.ShapeDtypeStruct((N, nu, Bp), dtype),
+        jax.ShapeDtypeStruct((1, Bp), dtype),
+        jax.ShapeDtypeStruct((1, Bp), dtype),
+    ]
+    kern = functools.partial(
+        _ipm_iter_kernel, N=N, nx=nx, nu=nu, ni=ni, ni_f=ni_f, bt=b_tile,
+        tau=tau, n_comp=n_comp,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(Bp // b_tile,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((nx, nx, b_tile), dtype),
+            pltpu.VMEM((nx, nx, b_tile), dtype),
+            pltpu.VMEM((nx, nu, b_tile), dtype),
+            pltpu.VMEM((N, nu, nx, b_tile), dtype),
+            pltpu.VMEM((N, nu, nx, b_tile), dtype),
+            pltpu.VMEM((N, nuu, b_tile), dtype),
+            pltpu.VMEM((N, nuu, b_tile), dtype),
+            pltpu.VMEM((N, nx, nx, b_tile), dtype),
+            pltpu.VMEM((N, nu, b_tile), dtype),
+            pltpu.VMEM((N, nx, b_tile), dtype),
+            pltpu.VMEM((N + 1, nx, b_tile), dtype),
+            pltpu.VMEM((N, nu, b_tile), dtype),
+            pltpu.VMEM((N, nx, b_tile), dtype),
+            pltpu.VMEM((N, ni, b_tile), dtype),
+            pltpu.VMEM((N, ni, b_tile), dtype),
+            pltpu.VMEM((N, ni, b_tile), dtype),
+            pltpu.VMEM((N, ni, b_tile), dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*args)
+    unl = lambda x: jnp.moveaxis(x, -1, 0)[:Bc]
+    (Xo, Uo, lamo, so, lamfo, sfo, nuo,
+     reqo, rineqo, rineqfo, rxo, rxNo, ruo, res, bad) = out
+    return (
+        unl(Xo), unl(Uo), unl(lamo), unl(so), unl(lamfo), unl(sfo), unl(nuo),
+        unl(reqo), unl(rineqo), unl(rineqfo), unl(rxo), unl(rxNo), unl(ruo),
+        unl(res)[:, 0], unl(bad)[:, 0] > 0.5,
+    )
+
+
+def _fallback_ipm_iter(A, B, c, qx, qu, h, hf, Gx, Gu, Gf, Hx, Hu, HxN,
+                       W, W_f, X, U, lam, s, lam_f, s_f, nu_dyn,
+                       req, rineq, rineq_f, rx_pad, rxN, ru, scale_p, done,
+                       *, tau, n_comp):
+    """Unbatched XLA replica of one fused iteration, built from qp_ipm's
+    scan pieces — defines the semantics the kernel must match."""
+    from robust_nonlinear_mpc_tpu.ops import qp_ipm as qi
+
+    N, nx = req.shape
+    nu = B.shape[2]
+    dtype = A.dtype
+    stat = qi.QPStatics(Hx, Hu, HxN, Gx, Gu, Gf)
+    data = qi.QPData(A, B, c, qx, qu, h, hf, jnp.zeros(nx, dtype))
+    rx = rx_pad[1:]
+    mu = (jnp.sum(lam * s) + jnp.sum(lam_f * s_f)) / n_comp
+
+    def reduced_rhs(rcomp, rcomp_f):
+        t = (lam * rineq - rcomp) / s
+        t_f = (lam_f * rineq_f - rcomp_f) / s_f
+        hp = jax.lax.Precision.HIGHEST
+        rbx = rx + jnp.einsum("kri,kr->ki", Gx[1:N], t[1:N], precision=hp)
+        rbx = jnp.concatenate([jnp.zeros((1, nx), dtype), rbx], axis=0)
+        rbxN = rxN + Gf.T @ t_f
+        rbu = ru + jnp.einsum("kru,kr->ku", Gu, t, precision=hp)
+        return rbx, rbxN, rbu
+
+    def recover(dX, dU, rcomp, rcomp_f):
+        hp = jax.lax.Precision.HIGHEST
+        dGz = jnp.einsum("kri,ki->kr", Gx, dX[:N], precision=hp) + jnp.einsum(
+            "kru,ku->kr", Gu, dU, precision=hp
+        )
+        ds = -rineq - dGz
+        dlam = -(rcomp + lam * ds) / s
+        ds_f = -rineq_f - Gf @ dX[N]
+        dlam_f = -(rcomp_f + lam_f * ds_f) / s_f
+        return ds, dlam, ds_f, dlam_f
+
+    rcomp_a = lam * s
+    rcomp_af = lam_f * s_f
+    rbx, rbxN, rbu = reduced_rhs(rcomp_a, rcomp_af)
+    fact, (kff_a, pn_a) = qi._factorize_with_presolve(
+        stat, data, W, W_f, rbx, rbxN, rbu, req
+    )
+    K_g, _, _, Pseq = fact
+    dXa, dUa, _ = qi._forward_sweep(data, K_g, kff_a, req, Pseq, pn_a)
+    dsa, dlama, dsfa, dlamfa = recover(dXa, dUa, rcomp_a, rcomp_af)
+    ap_a = jnp.minimum(
+        qi._step_to_boundary(s, dsa, 1.0), qi._step_to_boundary(s_f, dsfa, 1.0)
+    )
+    ad_a = jnp.minimum(
+        qi._step_to_boundary(lam, dlama, 1.0),
+        qi._step_to_boundary(lam_f, dlamfa, 1.0),
+    )
+    mu_aff = (
+        jnp.sum((s + ap_a * dsa) * (lam + ad_a * dlama))
+        + jnp.sum((s_f + ap_a * dsfa) * (lam_f + ad_a * dlamfa))
+    ) / n_comp
+    sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+    rcomp_c = lam * s + dsa * dlama - sigma * mu
+    rcomp_cf = lam_f * s_f + dsfa * dlamfa - sigma * mu
+    rbx, rbxN, rbu = reduced_rhs(rcomp_c, rcomp_cf)
+    dX, dU, dnu = qi._solve_newton(stat, data, fact, rbx, rbxN, rbu, req)
+    ds, dlam, ds_f, dlam_f = recover(dX, dU, rcomp_c, rcomp_cf)
+    ap = jnp.minimum(
+        qi._step_to_boundary(s, ds, tau), qi._step_to_boundary(s_f, ds_f, tau)
+    )
+    ad = jnp.minimum(
+        qi._step_to_boundary(lam, dlam, tau),
+        qi._step_to_boundary(lam_f, dlam_f, tau),
+    )
+
+    sel = lambda new, old: jnp.where(done, old, new)
+    X_n = sel(X + ap * dX, X)
+    U_n = sel(U + ap * dU, U)
+    s_n = sel(s + ap * ds, s)
+    sf_n = sel(s_f + ap * ds_f, s_f)
+    lam_n = sel(lam + ad * dlam, lam)
+    lamf_n = sel(lam_f + ad * dlam_f, lam_f)
+    nu_n = sel(nu_dyn + ad * dnu, nu_dyn)
+
+    R_n = qi._residuals(stat, data, X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n)
+
+    def kkt(R, lamv, lamfv, sv, sfv):
+        reqv, rineqv, rineqfv, rxv, rxNv, ruv = R
+        gap = (jnp.sum(lamv * sv) + jnp.sum(lamfv * sfv)) / n_comp
+        scale_d = 1.0 + qi._max_abs(qx, qu, lamv, lamfv)
+        res_p = qi._max_abs(reqv, rineqv, rineqfv) / scale_p
+        res_d = qi._max_abs(rxv, rxNv, ruv) / scale_d
+        return jnp.maximum(jnp.maximum(res_p, res_d), gap / scale_d)
+
+    res_new = kkt(R_n, lam_n, lamf_n, s_n, sf_n)
+    bad = ~jnp.isfinite(res_new)
+    rev = lambda new, old: jnp.where(bad, old, new)
+    R_old = (req, rineq, rineq_f, rx, rxN, ru)
+    R_out = tuple(rev(rn, ro) for rn, ro in zip(R_n, R_old))
+    res = jnp.where(bad, kkt(R_old, lam, lam_f, s, s_f), res_new)
+    rx_out = jnp.concatenate([jnp.zeros((1, nx), dtype), R_out[3]], axis=0)
+    return (
+        rev(X_n, X), rev(U_n, U), rev(lam_n, lam), rev(s_n, s),
+        rev(lamf_n, lam_f), rev(sf_n, s_f), rev(nu_n, nu_dyn),
+        R_out[0], R_out[1], R_out[2], rx_out, R_out[4], R_out[5],
+        res, bad,
+    )
+
+
+_ITER_CACHE = {}
+
+
+def default_ipm_iteration(tau, n_comp):
+    """custom_vmap for one fused IPM iteration (cached per (tau, n_comp)).
+    Unbatched -> XLA scan replica; vmapped -> the fused Pallas kernel
+    (interpret mode on the CPU backend)."""
+    interpret = jax.default_backend() == "cpu"
+    key = (float(tau), int(n_comp), interpret)
+    if key in _ITER_CACHE:
+        return _ITER_CACHE[key]
+
+    @jax.custom_batching.custom_vmap
+    def ipm_iteration(*args):
+        return _fallback_ipm_iter(*args, tau=tau, n_comp=n_comp)
+
+    @ipm_iteration.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        b = list(in_batched)
+        # statics (indices 7..12: Gx, Gu, Gf, Hx, Hu, HxN) must be shared;
+        # everything else batched — otherwise broadcast and run the XLA
+        # replica vmapped
+        expected = all(b[:7]) and not any(b[7:13]) and all(b[13:])
+        if not expected:
+            bc = lambda a, isb: a if isb else jax.lax.broadcast(a, (axis_size,))
+            out = jax.vmap(
+                functools.partial(_fallback_ipm_iter, tau=tau, n_comp=n_comp)
+            )(*[bc(a, isb) for a, isb in zip(args, in_batched)])
+            return out, jax.tree_util.tree_map(lambda _: True, out)
+        out = _ipm_iter_batched(
+            *args, tau=tau, n_comp=n_comp, interpret=interpret
+        )
+        return out, jax.tree_util.tree_map(lambda _: True, out)
+
+    _ITER_CACHE[key] = ipm_iteration
+    return ipm_iteration

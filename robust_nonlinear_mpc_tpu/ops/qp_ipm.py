@@ -124,6 +124,13 @@ class IPMOptions(NamedTuple):
     #                 Requires a BATCHED (vmapped) solve on TPU; unbatched
     #                 calls fall back to equivalent XLA scans, and the CPU
     #                 backend runs the kernels in interpret mode (tests).
+    #                 Measured 2.2x end-to-end (35.7k vs 16.3k closed-loop
+    #                 solves/s at B=512) with identical iteration counts.
+    #   "pallas_iter" — EXPERIMENTAL: the ENTIRE Mehrotra iteration as one
+    #                 fused kernel. Numerically verified identical to
+    #                 riccati, but its remote compile exceeded practical
+    #                 windows on this environment — see the STATUS note in
+    #                 ops/pallas_qp.py before using.
     #
     # "condensed" MEASURED AND REJECTED as the default (v5e, rocket N=15,
     # B=256, f32): a condensed iteration costs ~13.8 ms vs ~4.1 ms for
@@ -461,10 +468,10 @@ def solve_qp(
     qp_jit.py:303 warm_start=False; warm starting only changes iteration
     counts, never the optimum of this strictly convex QP).
     """
-    if opts.kkt not in ("riccati", "condensed", "pallas"):
+    if opts.kkt not in ("riccati", "condensed", "pallas", "pallas_iter"):
         raise ValueError(
-            "IPMOptions.kkt must be 'riccati', 'condensed' or 'pallas', "
-            f"got {opts.kkt!r}"
+            "IPMOptions.kkt must be 'riccati', 'condensed', 'pallas' or "
+            f"'pallas_iter', got {opts.kkt!r}"
         )
     N, nx = data.c.shape
     nu = data.B.shape[2]
@@ -530,6 +537,59 @@ def solve_qp(
         res_p = _max_abs(req, rineq, rineq_f) / scale_p
         res_d = _max_abs(rx, rxN, ru) / scale_d
         return jnp.maximum(jnp.maximum(res_p, res_d), gap / scale_d)
+
+    if opts.kkt == "pallas_iter":
+        # the ENTIRE Mehrotra iteration runs as one fused Pallas kernel
+        # (ops/pallas_qp._ipm_iter_kernel); XLA keeps only the lam/s
+        # weights, the curvature Gram GEMMs (inside the seam's batch rule)
+        # and the done-flag bookkeeping
+        from robust_nonlinear_mpc_tpu.ops.pallas_qp import (
+            default_ipm_iteration,
+        )
+
+        it_fn = default_ipm_iteration(opts.tau, n_comp)
+        scale_p_arr = jnp.asarray(scale_p, dtype)
+
+        def body(carry):
+            X, U, lam, s, lam_f, s_f, nu_dyn, R, it, done = carry
+            req, rineq, rineq_f, rx, rxN, ru = R
+            W = lam / s
+            W_f = lam_f / s_f
+            rx_pad = jnp.concatenate(
+                [jnp.zeros((1, nx), dtype), rx], axis=0
+            )
+            (X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n,
+             req_n, rineq_n, rineqf_n, rxpad_n, rxN_n, ru_n,
+             res_n, bad) = it_fn(
+                data.A, data.B, data.c, data.qx, data.qu, data.h, data.hf,
+                stat.Gx, stat.Gu, stat.Gf, stat.Hx, stat.Hu, stat.HxN,
+                W, W_f, X, U, lam, s, lam_f, s_f, nu_dyn,
+                req, rineq, rineq_f, rx_pad, rxN, ru,
+                scale_p_arr, done,
+            )
+            R_n = (req_n, rineq_n, rineqf_n, rxpad_n[1:], rxN_n, ru_n)
+            eps_mach = jnp.finfo(dtype).eps
+            mu_n = (jnp.sum(lam_n * s_n) + jnp.sum(lamf_n * sf_n)) / n_comp
+            scale_mu = 1.0 + _max_abs(data.qx, data.qu, lam_n, lamf_n)
+            at_floor = mu_n < 10.0 * eps_mach * scale_mu
+            done_n = done | (res_n < opts.tol) | bad | at_floor
+            return (
+                X_n, U_n, lam_n, s_n, lamf_n, sf_n, nu_n, R_n,
+                it + 1, done_n,
+            )
+
+        def cond(carry):
+            *_, it, done = carry
+            return (~done) & (it < opts.max_iter)
+
+        R0 = _residuals(stat, data, X0, U0, lam0, s0, lamf0, sf0, nu0)
+        carry0 = (X0, U0, lam0, s0, lamf0, sf0, nu0, R0,
+                  jnp.array(0, jnp.int32), jnp.array(False))
+        X, U, lam, s, lam_f, s_f, nu_dyn, R, iters, done = lax.while_loop(
+            cond, body, carry0
+        )
+        return _finalize(stat, data, opts, N, dtype, n_comp, kkt_scalar,
+                         X, U, lam, s, lam_f, s_f, nu_dyn, R, iters)
 
     def body(carry):
         X, U, lam, s, lam_f, s_f, nu_dyn, R, it, done = carry
@@ -677,6 +737,12 @@ def solve_qp(
         cond, body, carry0
     )
 
+    return _finalize(stat, data, opts, N, dtype, n_comp, kkt_scalar,
+                     X, U, lam, s, lam_f, s_f, nu_dyn, R, iters)
+
+
+def _finalize(stat, data, opts, N, dtype, n_comp, kkt_scalar,
+              X, U, lam, s, lam_f, s_f, nu_dyn, R, iters):
     res = kkt_scalar(R, lam, lam_f, s, s_f)
 
     # dual of the initial-condition pin, from stationarity at x_0

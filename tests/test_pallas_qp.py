@@ -161,3 +161,39 @@ def test_solve_qp_kkt_pallas_full_ipm():
     s1 = solve_qp(stat, datas[0], o_p)   # unbatched -> scan fallbacks
     assert bool(s1.success)
     np.testing.assert_allclose(np.asarray(s1.X), np.asarray(sol_r.X[0]), atol=1e-7)
+
+
+def test_solve_qp_kkt_pallas_iter_full_ipm():
+    """The fully fused whole-iteration kernel (kkt="pallas_iter",
+    experimental — see the STATUS note in ops/pallas_qp.py) converges to the
+    same optimum with the same iteration counts as the riccati path."""
+    nu = 2
+    datas = []
+    for b in range(Bc):
+        rng = np.random.default_rng(300 + b)
+        stat, data, _, _, _ = _mk(nu, 300 + b)
+        data = data._replace(
+            qx=jnp.asarray(0.1 * rng.standard_normal((N + 1, nx))),
+            qu=jnp.asarray(0.1 * rng.standard_normal((N, nu))),
+            c=jnp.asarray(0.01 * rng.standard_normal((N, nx))),
+            h=jnp.asarray(4.0 + np.abs(rng.standard_normal((N, ni)))),
+            hf=jnp.asarray(4.0 + np.abs(rng.standard_normal(ni_f))),
+            xinit=jnp.asarray(0.3 * rng.standard_normal(nx)),
+        )
+        datas.append(data)
+    stat = _mk(nu, 300)[0]
+    datab = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *datas)
+
+    o_r = IPMOptions(max_iter=40, tol=1e-10)
+    o_i = IPMOptions(max_iter=40, tol=1e-10, kkt="pallas_iter")
+    sol_r = jax.vmap(lambda d: solve_qp(stat, d, o_r))(datab)
+    sol_i = jax.vmap(lambda d: solve_qp(stat, d, o_i))(datab)
+    assert bool(jnp.all(sol_i.success))
+    np.testing.assert_array_equal(np.asarray(sol_i.iters), np.asarray(sol_r.iters))
+    np.testing.assert_allclose(np.asarray(sol_i.X), np.asarray(sol_r.X), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sol_i.U), np.asarray(sol_r.U), atol=1e-7)
+    # unbatched path = the XLA replica of one fused iteration
+    d0 = jax.tree_util.tree_map(lambda x: x[0], datab)
+    s1 = solve_qp(stat, d0, o_i)
+    assert bool(s1.success)
+    np.testing.assert_allclose(np.asarray(s1.X), np.asarray(sol_r.X[0]), atol=1e-7)
