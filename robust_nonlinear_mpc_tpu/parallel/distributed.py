@@ -75,7 +75,11 @@ def multihost_throughput(solver, sim_steps: int, scenarios_per_device: int = 32,
     mesh = global_scenario_mesh()
     n_dev = len(jax.devices())
     B = scenarios_per_device * n_dev
-    rng = np.random.default_rng(jax.process_index())
+    # one shared seed: multi-process device_put with a global sharding
+    # requires the SAME host-local value on every process (each keeps only
+    # its local shards); per-process seeds trip jax's consistency check
+    # (found by tests/test_distributed_multiprocess.py)
+    rng = np.random.default_rng(0)
     m = solver.m
     x0s = jnp.asarray(
         0.3 * rng.standard_normal((B, m.nx)), solver.dtype

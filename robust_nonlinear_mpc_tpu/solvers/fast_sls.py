@@ -176,6 +176,14 @@ class FastSLSOptions(NamedTuple):
     # v5e at block=2, but they blow up XLA:CPU compilation in deeply nested
     # programs — TPU throughput paths only). Default honors RNM_SLS_BLOCK.
     sls_block: int = _SLS_BLOCK
+    # LARGE-HORIZON mode: a jax.sharding.Mesh over the SLS column axis
+    # (parallel/columns.py — the reference's prange-over-columns axis,
+    # fast_SLS_jit.py:66,113, taken across devices). When set, the backward
+    # Riccati and the streaming response run column-sharded under shard_map;
+    # only the (N, ni)+(ni_f,)+scalar backoff/cost psums cross devices, the
+    # O(N^2 nx nw) response work never moves. Implies streaming_response
+    # (Phi is never materialized across devices).
+    column_mesh: object = None
 
 
 class QPWarm(NamedTuple):
@@ -352,6 +360,17 @@ def fast_sls_solve(
 
     Gmat = jnp.concatenate([prob.stat.Gx, prob.stat.Gu], axis=1)
     bwd_solve, resp_streaming = select_sls_kernels(opts.sls_block)
+    if opts.column_mesh is not None:
+        # large-horizon column sharding (parallel/columns.py): same kernel
+        # contracts, column axis distributed over the mesh
+        from robust_nonlinear_mpc_tpu.parallel.columns import (
+            column_sharded_backward_solve,
+            column_sharded_response,
+        )
+
+        _mesh = opts.column_mesh
+        bwd_solve = functools.partial(column_sharded_backward_solve, _mesh)
+        resp_streaming = functools.partial(column_sharded_response, _mesh)
 
     beta, beta_f, backoff, backoff_f = _init_tube(N, ni, ni_f, nx, nu, eps, dtype)
     applied_backoff = jnp.zeros((N, ni), dtype=dtype)
@@ -391,7 +410,7 @@ def fast_sls_solve(
             nbeta, nbeta_f = nbeta.astype(dtype), nbeta_f.astype(dtype)
             nboff, nboff_f = nboff.astype(dtype), nboff_f.astype(dtype)
             ct = ct.astype(dtype)
-        elif opts.streaming_response:
+        elif opts.streaming_response or opts.column_mesh is not None:
             nbeta, nbeta_f, nboff, nboff_f, ct = resp_streaming(
                 A, B, prob.E, K,
                 prob.stat.Gx, prob.stat.Gu, prob.stat.Gf, prob.regs, eps,

@@ -72,6 +72,9 @@ class SCPSLSOptions(NamedTuple):
     # (safe everywhere); >0 = triangular column-blocked (TPU throughput
     # only). Default honors the RNM_SLS_BLOCK env knob, like FastSLSOptions.
     sls_block: int = _SLS_BLOCK
+    # large-horizon column sharding: a jax.sharding.Mesh over the SLS column
+    # axis (FastSLSOptions.column_mesh; parallel/columns.py)
+    column_mesh: object = None
     sqp: SQPOptions = SQPOptions()
     refine_on_convergence: bool = False
     verbose: bool = False
@@ -207,6 +210,7 @@ class SCPSLSSolver:
             ipm=self.opts.ipm,
             ipm_first=self.opts.ipm_first,
             sls_block=self.opts.sls_block,
+            column_mesh=self.opts.column_mesh,
             verbose=self.opts.fast_sls_verbose,
         )
 

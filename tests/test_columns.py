@@ -137,3 +137,42 @@ def test_column_contributions_are_exactly_zero_for_padding(mesh):
     out1 = sharded_tube_iteration(one, A, B, E, Gmat, Gf, mu, mu_f, beta0, beta_f0, regs, EPS)
     for a, b in zip(out8, out1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12)
+
+
+def test_solver_level_column_mesh_equivalence_N60(mesh):
+    """The FastSLSOptions.column_mesh consumer (VERDICT r1 item 5): a full
+    SCP-SLS solve at a LARGE horizon (pendulum, N=60) routed through the
+    column-sharded kernels on the 8-device mesh matches the single-chip
+    streaming path at f64 roundoff."""
+    from robust_nonlinear_mpc_tpu.models import Pendulum
+    from robust_nonlinear_mpc_tpu.solvers.scp_sls import SCPSLSSolver, SCPSLSOptions
+
+    def build(col_mesh):
+        m = Pendulum()
+        m.E = 0.003 * np.eye(4)
+        opts = SCPSLSOptions(streaming_response=True, column_mesh=col_mesh)
+        return SCPSLSSolver(
+            60, np.eye(4), np.eye(1), m, 10 * np.eye(4),
+            Q_reg=1e3 * np.eye(4), R_reg=1e3 * np.eye(1),
+            Q_reg_f=1e4 * np.eye(4),
+            rti=1, fast_sls_rti_steps=1, options=opts, verbose=False,
+        )
+
+    x0 = np.array([0.5, 0.5, 0.0, 0.0])
+    sols = []
+    for cm in (None, mesh):
+        solver = build(cm)
+        s0 = solver.solve(x0)
+        solver.reset_warm_start()
+        s1 = solver.solve(x0 * 0.9)
+        sols.append((s0, s1))
+    for (a, b) in zip(*sols):
+        assert a["success"] and b["success"]
+        np.testing.assert_allclose(
+            np.asarray(a["primal_u"]), np.asarray(b["primal_u"]),
+            rtol=1e-8, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["backoff_x"]), np.asarray(b["backoff_x"]),
+            rtol=1e-8, atol=1e-10,
+        )

@@ -137,10 +137,11 @@ def test_rocket_u_sequence_parity(steps):
     Two-part criterion, because the 1e-4 CLOSED-LOOP bound is provably
     unattainable between any two independent exact QP solvers on this
     workload: the RTI(1/1) controller map has measured local gains
-    |du0|/|dx| of O(10^2-10^3) near weakly-active constraints (the
-    eta = mu/(2 sqrt(beta)) dual amplification, see PARITY.md), and even
-    the oracle against itself with a perturbed-but-exact IPM start
-    (identical 1e-10 tolerance) diverges to 6.8e-4 in closed loop.
+    |du0|/|dx| of 4-54 at the divergence steps (compounding through the
+    noisy loop; the eta = mu/(2 sqrt(beta)) dual amplification reaches
+    5e4 near the beta floor, see PARITY.md), and even the oracle against
+    itself with a perturbed-but-exact IPM start (identical 1e-10
+    tolerance) diverges to 6.8e-4 in closed loop.
 
     (a) matched-state stepwise parity: both stateful controllers are fed
         the SAME visited-state sequence (the oracle's noisy rollout); the
