@@ -160,13 +160,80 @@ def plot(show: bool = True):
     return fig
 
 
+def plot_vel_omega_inputs(show: bool = True):
+    """Velocity / angular-velocity comparison figure with compact dual
+    legends (reference main_rocket_compare_closed_loop.py:409-495): robust
+    solid vs soft dashed, same color per variable, red constraint lines."""
+    import os
+
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from robust_nonlinear_mpc_tpu.expe._common import load_latest
+    from robust_nonlinear_mpc_tpu.utils.plotting import compact_dual_legend
+
+    data = load_latest(FOLDER)
+    if data is None:
+        print("No data files found in the directory.")
+        return None
+
+    g = data["g"]
+    nx, nu = int(data["nx"]), int(data["nu"])
+    dt = float(data["dt"])
+    Xr = data["r_state_trajectory"]
+    Xs = data["s_state_trajectory"]
+    ub_x = g[:nx]
+    lb_x = -g[nx + nu:nx + nu + nx]
+
+    viridis = plt.cm.viridis
+    grid_kw = dict(alpha=0.3, linestyle="--")
+    t = np.arange(Xr.shape[1]) * dt
+    fig, axs = plt.subplots(1, 2, figsize=(10, 5))
+
+    panels = [
+        (axs[0], range(3, 6), [r"$v_x$", r"$v_y$", r"$v_z$"],
+         "Velocity [m/s]"),
+        (axs[1], range(10, 13),
+         [r"$\omega_x$", r"$\omega_y$", r"$\omega_z$"],
+         "Angular vel. [rad/s]"),
+    ]
+    for ax, idxs, lbls, ylab in panels:
+        colors = viridis(np.linspace(0.3, 0.7, len(lbls)))
+        for idx, lbl, color in zip(idxs, lbls, colors):
+            ax.plot(t, Xr[idx], label=f"{lbl} (robust)", linewidth=2.5,
+                    color=color, linestyle="-")
+            ax.plot(t, Xs[idx], label=f"{lbl} (soft)", linewidth=2.5,
+                    color=color, linestyle="--")
+            ax.hlines([lb_x[idx], ub_x[idx]], t[0], t[-1], colors="red",
+                      linestyles=[":"], linewidth=2.5)
+        ax.set_ylabel(ylab)
+        ax.set_xlabel("Time [s]")
+        ax.grid(True, **grid_kw)
+        compact_dual_legend(ax, ncol=3)
+
+    fig.tight_layout(pad=1.2)
+    fig.savefig(os.path.join(FOLDER, "trajectory_plot_compare_vel_omega.pdf"),
+                dpi=300, bbox_inches="tight")
+    if show:
+        plt.show()
+    return fig
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--run", action="store_true")
     p.add_argument("--N", type=int, default=15)
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--vel-omega", action="store_true",
+                   help="plot the velocity/omega comparison figure")
     args = p.parse_args()
     if args.run:
         generate(args.N, args.steps)
+    elif args.vel_omega:
+        plot_vel_omega_inputs()
     else:
         plot()
