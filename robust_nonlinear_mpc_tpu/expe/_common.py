@@ -42,7 +42,7 @@ def plot_closed_loop(folder: str, tube_frequency: int = 5, show: bool = True):
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from robust_nonlinear_mpc_tpu.utils.plotting import add_footnote_time, plot_tube
+    from robust_nonlinear_mpc_tpu.utils.plotting import add_footnote_time
 
     sol = load_latest(folder)
     if sol is None:
@@ -57,14 +57,29 @@ def plot_closed_loop(folder: str, tube_frequency: int = 5, show: bool = True):
     nom_x = sol["nominal_trajectory_x"]
     bo_x = sol["backoff_trajectory_x"]
 
+    from robust_nonlinear_mpc_tpu.utils.plotting import (
+        draw_alpha_gradient_tube,
+    )
+
     fig, ax = plt.subplots(1, 1, figsize=(12, 7))
     time = np.arange(T) * dt
     colors = plt.cm.viridis(np.linspace(0, 1, nx + 2))
-    for i in range(nx):
-        ax.plot(time, state[i], color=colors[i + 1], lw=1.5)
+    # horizon fans first (lower zorder), fading along each horizon and
+    # across later fans — the reference quadrotor/rocket tube visual
+    # (main_quadrotor_robust_closed_loop.py:228-280)
+    denom_t = max(1, T - 1)
     for t0 in range(0, T, tube_frequency):
         horizon_time = (t0 + np.arange(N + 1)) * dt
-        plot_tube(bo_x[:, :, t0], nom_x[:, :, t0], time=horizon_time, ax=ax, alpha=0.15)
+        scale = 1.0 - 0.4 * (t0 / denom_t)
+        for i in range(nx):
+            draw_alpha_gradient_tube(
+                ax, horizon_time,
+                nom_x[i, :, t0] - bo_x[i, :, t0],
+                nom_x[i, :, t0] + bo_x[i, :, t0],
+                colors[i + 1], a_start=0.35 * scale, a_end=0.05 * scale,
+            )
+    for i in range(nx):
+        ax.plot(time, state[i], color=colors[i + 1], lw=1.5)
     ax.set_xlabel("time [s]")
     ax.set_ylabel("state")
     add_footnote_time(fig)

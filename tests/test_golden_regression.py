@@ -1,12 +1,11 @@
-"""Golden closed-loop regression tests.
+"""Golden closed-loop regression tests (REGRESSION PINS ONLY).
 
-The reference cannot be executed in this environment (CasADi/OSQP/IPOPT are
-not installed), so cross-implementation trajectory matching is pinned by
-component-level oracles (scipy QP/NLP, naive SLS math). These goldens freeze
-the framework's OWN seeded closed-loop outputs (CPU, f64) so any future
-change that shifts the control sequence is caught at 1e-8 — the same role
-the reference's seeded runs play for its "match u-sequence to 1e-4"
-acceptance bar (SURVEY.md §4 determinism hooks).
+Since round 2 these are no longer the behavioral acceptance bar: that role
+belongs to tests/test_reference_parity.py, which diffs the framework against
+the independent full-stack reference oracle (tests/reference_port/) on the
+three seeded closed loops. The goldens remain as cheap change-detectors:
+they freeze the framework's OWN seeded closed-loop outputs (CPU, f64) so
+any future change that shifts the control sequence is caught at 1e-8.
 
 Regenerate deliberately (after an intended behavior change) with the script
 embedded in the repo history (see the commit that added tests/golden/).
