@@ -95,8 +95,19 @@ def main():
         # RNM_BENCH_QP_ITERS overrides.
         qp_iters = jax_env_int("RNM_BENCH_QP_ITERS", 6)
         qp_tol = float(os.environ.get("RNM_BENCH_QP_TOL", 3e-5))
+        # steady-state-AWARE budget (default on): each lane starts at the
+        # cold cap (15) and drops to the steady cap (RNM_BENCH_QP_ITERS=6)
+        # only after a QP converges inside it; a choked lane flips back.
+        # Removes the cold-transient asterisk of the former global cap 6
+        # (MC 128x10 cold: success 0.971/1 violation, matching uncapped,
+        # vs 0.937/10 violations at the hard cap) at the same steady-state
+        # throughput — the cap is a traced value, so both regimes share one
+        # compiled program. RNM_BENCH_ADAPTIVE=0 reverts to the hard cap.
+        adaptive = bool(jax_env_int("RNM_BENCH_ADAPTIVE", 1))
+        cold_cap = max(qp_iters, 15) if adaptive else qp_iters
         solver.opts = solver.opts._replace(
-            ipm=IPMOptions(max_iter=qp_iters, tol=qp_tol, kkt=kkt)
+            ipm=IPMOptions(max_iter=cold_cap, tol=qp_tol, kkt=kkt),
+            adaptive_ipm_budget=(qp_iters, cold_cap) if adaptive else None,
         )
         set_tube_precision("default")
         # IPM Newton-direction matmul precision (residuals/termination stay
@@ -226,23 +237,33 @@ def main():
     # unbatched program, which through this container's remote-compile
     # tunnel can double the bench wall time. Measured value on v5e: ~31-43
     # ms vs the 50 ms budget.
-    lat_ms = float("nan")
+    lat_ms = lat_p99_ms = lat_max_ms = float("nan")
     if jax_env_int("RNM_BENCH_LATENCY", 0):
         # measured: kernel choice is irrelevant at B=1 (blocked 35.1 ms vs
         # folded 35.4 ms — dispatch-bound, variance dominates), so the probe
         # uses the same options as the throughput program
         single = jax.jit(mpc_step)
         carry1 = (Xs[0], Us[0], persist, x0s[0])
-        w1 = w_seq[0, 0]
+        rngl = np.random.default_rng(7)
+        w1 = jnp.asarray(2 * rngl.random(m.nw) - 1, dtype)
         c_out, _ = single(carry1, w1)
         jax.block_until_ready(c_out[0])
+        carry1 = c_out
+        # a rolling 200-step single-instance closed loop: the latency
+        # DISTRIBUTION (p50/p99 vs the 50 ms real-time budget —
+        # BASELINE.json north star), not a fixed-input median
         lats = []
-        for _ in range(10):
+        n_lat = int(jax_env_int("RNM_BENCH_LATENCY_STEPS", 200))
+        for _ in range(n_lat):
+            w1 = jnp.asarray(2 * rngl.random(m.nw) - 1, dtype)
             ts = time.perf_counter()
             c_out, _ = single(carry1, w1)
             jax.block_until_ready(c_out[0])
             lats.append(time.perf_counter() - ts)
+            carry1 = c_out
         lat_ms = 1e3 * float(np.median(lats))
+        lat_p99_ms = 1e3 * float(np.percentile(lats, 99))
+        lat_max_ms = 1e3 * float(np.max(lats))
 
     result = {
         "metric": "rocket_sls_mpc_solves_per_s",
@@ -262,6 +283,8 @@ def main():
         "mean_qp_iters": round(float(jnp.mean(qp_iters.astype(jnp.float32))), 2),
         "max_qp_iters": int(jnp.max(qp_iters)),
         "single_step_latency_ms": round(lat_ms, 3) if lat_ms == lat_ms else "see BASELINE.md (~31-43ms)",
+        "single_step_latency_p99_ms": round(lat_p99_ms, 3) if lat_p99_ms == lat_p99_ms else "RNM_BENCH_LATENCY=1 to measure",
+        "single_step_latency_max_ms": round(lat_max_ms, 3) if lat_max_ms == lat_max_ms else None,
         "realtime_budget_ms": 50.0,
     }
     print(json.dumps(result))

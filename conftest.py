@@ -43,5 +43,15 @@ def pytest_collection_modifyitems(config, items):
     compilations in one process. Fronting the big compiles keeps the suite
     inside the envelope; the stable sort preserves relative order
     otherwise. (Measured 2026-08-19: the same suite crashes at test ~129
-    alphabetically, passes reordered.)"""
-    items.sort(key=lambda it: 0 if "test_utils_io" in it.nodeid else 1)
+    alphabetically, passes reordered. 2026-08-20: the round-2 parity and
+    large-horizon tests add more big compiles — front-load those too.)"""
+
+    def rank(it):
+        nid = it.nodeid
+        if "test_utils_io" in nid:
+            return 0
+        if "test_reference_parity" in nid or "test_columns" in nid:
+            return 1
+        return 2
+
+    items.sort(key=rank)

@@ -457,8 +457,14 @@ def solve_qp(
     opts: IPMOptions = IPMOptions(),
     init: QPSolution | None = None,
     pre: CondensedKKT | None = None,
+    max_iter_dyn=None,
 ) -> QPSolution:
     """Solve one horizon-structured QP. Pure function: jit/vmap/shard-friendly.
+
+    `max_iter_dyn`: optional TRACED iteration cap overriding the static
+    opts.max_iter — the steady-state-aware budget (FastSLSOptions.
+    adaptive_ipm_budget) switches a lane between a tight steady cap and the
+    full cold budget without recompiling.
 
     `init`: optional warm start (e.g. the untightened solve feeding the
     tightened re-solve in fast-SLS): primal from init, slacks re-centered to
@@ -473,6 +479,11 @@ def solve_qp(
             "IPMOptions.kkt must be 'riccati', 'condensed', 'pallas' or "
             f"'pallas_iter', got {opts.kkt!r}"
         )
+    _mi_cap = (
+        jnp.asarray(opts.max_iter, jnp.int32)
+        if max_iter_dyn is None
+        else jnp.asarray(max_iter_dyn, jnp.int32)
+    )
     N, nx = data.c.shape
     nu = data.B.shape[2]
     stat = stat.per_stage(N)
@@ -580,7 +591,7 @@ def solve_qp(
 
         def cond(carry):
             *_, it, done = carry
-            return (~done) & (it < opts.max_iter)
+            return (~done) & (it < _mi_cap)
 
         R0 = _residuals(stat, data, X0, U0, lam0, s0, lamf0, sf0, nu0)
         carry0 = (X0, U0, lam0, s0, lamf0, sf0, nu0, R0,
@@ -728,7 +739,7 @@ def solve_qp(
 
     def cond(carry):
         *_, it, done = carry
-        return (~done) & (it < opts.max_iter)
+        return (~done) & (it < _mi_cap)
 
     R0 = _residuals(stat, data, X0, U0, lam0, s0, lamf0, sf0, nu0)
     carry0 = (X0, U0, lam0, s0, lamf0, sf0, nu0, R0, jnp.array(0, jnp.int32),

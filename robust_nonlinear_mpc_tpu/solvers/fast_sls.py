@@ -176,6 +176,14 @@ class FastSLSOptions(NamedTuple):
     # v5e at block=2, but they blow up XLA:CPU compilation in deeply nested
     # programs — TPU throughput paths only). Default honors RNM_SLS_BLOCK.
     sls_block: int = _SLS_BLOCK
+    # steady-state-aware IPM budget (steady_cap, cold_cap) or None: each
+    # lane runs its tightened QPs at cold_cap until a solve SUCCEEDS in
+    # fewer than steady_cap iterations, then drops to steady_cap; a solve
+    # that exhausts the steady budget flips the lane back to cold_cap on
+    # the next step. Makes the bench's throughput cap (6) safe during cold
+    # starts/maneuvers without recompiling (the cap is a traced value) —
+    # replaces the unsafe-if-cold global cap (VERDICT r1 item 10).
+    adaptive_ipm_budget: tuple | None = None
     # LARGE-HORIZON mode: a jax.sharding.Mesh over the SLS column axis
     # (parallel/columns.py — the reference's prange-over-columns axis,
     # fast_SLS_jit.py:66,113, taken across devices). When set, the backward
@@ -229,6 +237,7 @@ class FastSLSPersist(NamedTuple):
     Phi_u: jax.Array         # (N, N+1, nu, nw)
     cost_tube: jax.Array     # scalar
     qp_warm: QPWarm          # previous QP solution (recycle_warm_qp)
+    qp_steady: jax.Array     # bool: lane converged inside the steady budget
 
     @staticmethod
     def init(N, nx, nu, ni, ni_f, nw, dtype, keep_prev=None, store_phi=True):
@@ -251,6 +260,7 @@ class FastSLSPersist(NamedTuple):
             Phi_u=jnp.zeros((N, n_phi, nu, nw), dtype),
             cost_tube=jnp.asarray(jnp.nan, dtype),
             qp_warm=QPWarm.init(N, nx, nu, ni, ni_f, dtype),
+            qp_steady=jnp.array(False),
         )
 
 
@@ -383,14 +393,22 @@ def fast_sls_solve(
     )
     pre = condense(prob.stat.per_stage(N), A, B) if use_cond else None
 
+    if opts.adaptive_ipm_budget is not None:
+        _steady_cap, _cold_cap = opts.adaptive_ipm_budget
+        _budget = jnp.where(persist.qp_steady, _steady_cap, _cold_cap)
+    else:
+        _steady_cap, _budget = None, None
+
     def forward(applied, applied_f, init=None, first=False):
         data = QPData(
             A=A, B=B, c=c, qx=qx, qu=qu,
             h=g_res - applied, hf=gf_res - applied_f,
             xinit=xinit_dev,
         )
-        ipm = opts.ipm_first if (first and opts.ipm_first is not None) else opts.ipm
-        return solve_qp(prob.stat, data, ipm, init=init, pre=pre)
+        use_first = first and opts.ipm_first is not None
+        ipm = opts.ipm_first if use_first else opts.ipm
+        return solve_qp(prob.stat, data, ipm, init=init, pre=pre,
+                        max_iter_dyn=None if use_first else _budget)
 
     def compute_response(K, phi_like_x, phi_like_u):
         """propagate + backoffs + tube cost via the configured kernel.
@@ -461,6 +479,11 @@ def fast_sls_solve(
             valid=keep | w.valid,
         )
 
+    def _next_steady(sol):
+        if _steady_cap is None:
+            return persist.qp_steady
+        return sol.success & (sol.iters < _steady_cap)
+
     if opts.recycle_eta:
         # --- dual-recycling RTI: K from persisted eta, one tightened QP ---
         K_r = bwd_solve(
@@ -491,6 +514,7 @@ def fast_sls_solve(
             eta=eta_n, eta_f=eta_f_n, K=K_r,
             Phi_x=Phi_x, Phi_u=Phi_u, cost_tube=ct,
             qp_warm=_update_warm(sol),
+            qp_steady=_next_steady(sol),
         )
         return FastSLSSolution(
             X=sol.X, U=sol.U, y=y, lam=sol.lam, lam_f=sol.lam_f,
@@ -677,6 +701,7 @@ def fast_sls_solve(
         Phi_u=carry.Phi_u,
         cost_tube=carry.cost_tube,
         qp_warm=_update_warm(carry.sol),
+        qp_steady=_next_steady(carry.sol),
     )
 
     return FastSLSSolution(

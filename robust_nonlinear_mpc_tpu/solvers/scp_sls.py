@@ -75,6 +75,9 @@ class SCPSLSOptions(NamedTuple):
     # large-horizon column sharding: a jax.sharding.Mesh over the SLS column
     # axis (FastSLSOptions.column_mesh; parallel/columns.py)
     column_mesh: object = None
+    # steady-state-aware IPM budget (steady_cap, cold_cap) or None — see
+    # FastSLSOptions.adaptive_ipm_budget
+    adaptive_ipm_budget: tuple | None = None
     sqp: SQPOptions = SQPOptions()
     refine_on_convergence: bool = False
     verbose: bool = False
@@ -211,6 +214,7 @@ class SCPSLSSolver:
             ipm_first=self.opts.ipm_first,
             sls_block=self.opts.sls_block,
             column_mesh=self.opts.column_mesh,
+            adaptive_ipm_budget=self.opts.adaptive_ipm_budget,
             verbose=self.opts.fast_sls_verbose,
         )
 

@@ -402,3 +402,44 @@ def test_warm_shift_persist_semantics():
     # qp_warm and the non-recycled fields pass through verbatim
     np.testing.assert_array_equal(np.asarray(s.qp_warm.X), np.asarray(qp_warm.X))
     np.testing.assert_array_equal(np.asarray(s.K), np.asarray(p.K))
+
+
+def test_fast_sls_adaptive_ipm_budget():
+    """Steady-state-aware IPM budget (FastSLSOptions.adaptive_ipm_budget):
+    a cold lane runs at the full cold cap; once a QP converges inside the
+    steady cap the persisted flag flips and subsequent solves run at the
+    steady cap — and the budgeted solution matches the uncapped one when
+    the steady budget suffices. The cap is a traced value (no recompile)."""
+    prob, A, B, c, qx, qu, g_res, gf_res, N, nx, nu, nw = (
+        _double_integrator_problem()
+    )
+    dtype = jnp.zeros(0).dtype
+    x0 = jnp.asarray(np.array([1.5, 0.5]))
+
+    run = jax.jit(fast_sls_solve, static_argnums=(10,))
+
+    # uncapped reference
+    p0 = FastSLSPersist.init(N, nx, nu, 6, 4, nw, dtype)
+    o_ref = FastSLSOptions(rti_steps=1, ipm=IPMOptions(max_iter=50, tol=1e-10))
+    s_ref = run(prob, A, B, c, qx, qu, g_res, gf_res, x0, p0, o_ref)
+    assert bool(s_ref.success)
+
+    # adaptive: steady cap deliberately generous (20) so the first cold
+    # solve (cold cap 50) flips the lane to steady
+    o_ad = o_ref._replace(adaptive_ipm_budget=(20, 50))
+    p1 = FastSLSPersist.init(N, nx, nu, 6, 4, nw, dtype)
+    assert not bool(p1.qp_steady)
+    s1 = run(prob, A, B, c, qx, qu, g_res, gf_res, x0, p1, o_ad)
+    assert bool(s1.success)
+    assert bool(s1.persist.qp_steady)
+    np.testing.assert_allclose(np.asarray(s1.U), np.asarray(s_ref.U), atol=1e-9)
+
+    # second (steady) solve runs under the steady cap and still matches
+    s2 = run(prob, A, B, c, qx, qu, g_res, gf_res, x0, s1.persist, o_ad)
+    assert bool(s2.success) and bool(s2.persist.qp_steady)
+
+    # a choked steady cap (1 iteration) must flip the lane back to cold
+    o_choke = o_ref._replace(adaptive_ipm_budget=(1, 50))
+    p_steady = p1._replace(qp_steady=jnp.array(True))
+    s3 = run(prob, A, B, c, qx, qu, g_res, gf_res, x0, p_steady, o_choke)
+    assert not bool(s3.persist.qp_steady)
