@@ -94,10 +94,16 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         # mode (SCP_SLS_jit.py:20-22 rti=-1; fast_SLS until the 1e-3 primal
         # criterion, fast_SLS_jit.py:298-312,594). Uncapped IPM; the SCP
         # delta criterion is set to an f32/f64-achievable tolerance.
+        # budgets: the tube (fast-SLS) iteration needs up to ~60 inner
+        # iterations on cold/aggressive steps (measured f64 16x5 probe:
+        # at sls_max_iter=30 ~10% of solves fail, and every containment
+        # miss/violation sits on a failed step; successful converged solves
+        # hold the tube with positive margin). Validation mode pays the
+        # while_loop's slowest lane — correctness over throughput here.
         scp_eps = 1e-4 if solver.dtype == jnp.float32 else 1e-8
         solver.opts = solver.opts._replace(
             rti=-1, fast_sls_rti_steps=0, epsilon_convergence=scp_eps,
-            max_iter_scp=12, sls_max_iter=30,
+            max_iter_scp=20, sls_max_iter=60,
         )
     if solver.dtype == jnp.float32:
         # --qp-iters validates robustness at a bounded IPM budget (the bench

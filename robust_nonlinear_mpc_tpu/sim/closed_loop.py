@@ -142,31 +142,83 @@ def make_mpc_step(solver: SCPSLSSolver):
     """
     m = solver.m
     N = solver.N
-    rti = max(int(solver.opts.rti), 1)
+    rti = int(solver.opts.rti)
+    until_conv = rti <= 0  # reference until-convergence mode (SCP_SLS_jit.py:20-22)
     E = jnp.asarray(m.E, solver.dtype)
     fopts = solver._fast_sls_opts()
 
+    def _accept(X, U, persist, res):
+        # accept any FINITE iterate, even from a reported failure — a
+        # capped/inaccurate QP still returns a Newton-ish step that
+        # re-centers the nominal, and lanes recover within 1-2 steps
+        # (measured: gating on success instead freezes a stale plan and
+        # failed lanes never recover; no gate at all lets a non-finite
+        # solve poison the warm start and the lane NaNs within ~30
+        # steps). The reference updates unconditionally (socp_step,
+        # SCP_SLS_jit.py:426-430) but never sees non-finite QP output
+        # from OSQP at 1e-9 — finiteness is the f32/TPU-honest gate.
+        finite = jnp.all(jnp.isfinite(res.X)) & jnp.all(jnp.isfinite(res.U))
+        X = jnp.where(finite, res.X, X)
+        U = jnp.where(finite, res.U, U)
+        persist = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old), res.persist, persist
+        )
+        return X, U, persist, finite
+
     def mpc_step(carry, w_t):
         X, U, persist, x = carry
-        res = None
-        for _ in range(rti):
-            res = solver._iteration(X, U, x, persist)
-            # accept any FINITE iterate, even from a reported failure — a
-            # capped/inaccurate QP still returns a Newton-ish step that
-            # re-centers the nominal, and lanes recover within 1-2 steps
-            # (measured: gating on success instead freezes a stale plan and
-            # failed lanes never recover; no gate at all lets a non-finite
-            # solve poison the warm start and the lane NaNs within ~30
-            # steps). The reference updates unconditionally (socp_step,
-            # SCP_SLS_jit.py:426-430) but never sees non-finite QP output
-            # from OSQP at 1e-9 — finiteness is the f32/TPU-honest gate.
-            finite = jnp.all(jnp.isfinite(res.X)) & jnp.all(jnp.isfinite(res.U))
-            X = jnp.where(finite, res.X, X)
-            U = jnp.where(finite, res.U, U)
-            persist = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(finite, new, old),
-                res.persist, persist,
-            )
+        if not until_conv:
+            res = None
+            for _ in range(max(rti, 1)):
+                res = solver._iteration(X, U, x, persist)
+                X, U, persist, _ = _accept(X, U, persist, res)
+            bx, bu = res.sls.backoff_x, res.sls.backoff_u
+            success, qp_iters = res.success, res.sls.qp_iters
+        else:
+            # until-convergence SCP (the reference default, rti = -1): iterate
+            # {linearize, fast-SLS} until the primal update satisfies
+            # |delta|_inf < epsilon_convergence, the inner solve fails (the
+            # host/reference loop breaks WITHOUT accepting a failed iterate,
+            # SCP_SLS_jit.py:96-99 / SCPSLSSolver.solve), or max_iter_scp is
+            # exhausted. Under vmap the while_loop bills the batch for its
+            # slowest lane — this is the validation mode, not the throughput
+            # mode.
+            eps = solver.opts.epsilon_convergence
+            max_scp = int(solver.opts.max_iter_scp)
+            zero_bx = jnp.zeros((N + 1, m.nx), solver.dtype)
+            zero_bu = jnp.zeros((N, m.nu), solver.dtype)
+
+            def scp_once(st):
+                X, U, persist, bx, bu, qpi, it, done, failed = st
+                res = solver._iteration(X, U, x, persist)
+                finite = jnp.all(jnp.isfinite(res.X)) & jnp.all(
+                    jnp.isfinite(res.U)
+                )
+                ok = res.success & finite
+                X = jnp.where(ok, res.X, X)
+                U = jnp.where(ok, res.U, U)
+                persist = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old),
+                    res.persist, persist,
+                )
+                bx = jnp.where(ok, res.sls.backoff_x, bx)
+                bu = jnp.where(ok, res.sls.backoff_u, bu)
+                delta = jnp.max(jnp.abs(res.delta_vec))
+                return (X, U, persist, bx, bu, qpi + res.sls.qp_iters,
+                        it + 1, ok & (delta < eps), ~ok)
+
+            def cond(st):
+                it, done, failed = st[6], st[7], st[8]
+                return (~done) & (~failed) & (it < max_scp)
+
+            st0 = (X, U, persist, zero_bx, zero_bu,
+                   jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                   jnp.array(False), jnp.array(False))
+            st = jax.lax.while_loop(cond, scp_once, st0)
+            (X, U, persist, bx, bu, qp_iters, _, done, _) = st
+            # step success = SCP reached the delta criterion (host solve
+            # returns True exactly then)
+            success = done
         u0 = U[0]
         x_next = m.ddyn(x, u0) + E @ w_t
         # warm shift for the next step (reference reset_warm_start)
@@ -191,10 +243,10 @@ def make_mpc_step(solver: SCPSLSSolver):
             u0,
             X,
             U,
-            res.sls.backoff_x,
-            res.sls.backoff_u,
-            res.success,
-            res.sls.qp_iters,
+            bx,
+            bu,
+            success,
+            qp_iters,
         )
         return (Xs, Us, persist_next, x_next), out
 

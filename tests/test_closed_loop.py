@@ -95,3 +95,31 @@ def test_monte_carlo_validation_experiment(tmp_path, monkeypatch):
     assert int(d["n_violations"]) == 0
     assert float(d["tube_containment_rate"]) == 1.0
     assert float(d["success_rate"]) == 1.0
+
+
+def test_batched_until_convergence_matches_host_driver():
+    """rti = -1 (the reference's until-convergence default) in the batched
+    scan: the lax.while_loop SCP loop must reproduce the host driver's
+    u-sequence and report success on every converged step."""
+    steps = 3
+    m, solver_a = _pendulum_solver(rti=-1, inner=0, N=8)
+    solver_a.opts = solver_a.opts._replace(
+        epsilon_convergence=1e-7, max_iter_scp=12, verbose=False
+    )
+    x0 = np.array([0.5, 0.5, 0.0, 0.0])
+    out = run_closed_loop(m, solver_a, x0, sim_steps=steps, noise="none")
+
+    m2, solver_b = _pendulum_solver(rti=-1, inner=0, N=8)
+    solver_b.opts = solver_b.opts._replace(
+        epsilon_convergence=1e-7, max_iter_scp=12, verbose=False
+    )
+    rollout = build_batched_closed_loop(solver_b, steps)
+    log = jax.jit(rollout)(jnp.asarray(x0), jnp.zeros((steps, m2.nw)))
+
+    assert bool(np.all(np.asarray(log.success)))
+    np.testing.assert_allclose(
+        np.asarray(log.input_trajectory).T, out["input_trajectory"], atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(log.state_trajectory).T, out["state_trajectory"], atol=1e-7
+    )
