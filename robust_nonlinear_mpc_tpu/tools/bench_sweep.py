@@ -153,12 +153,9 @@ def bench_system(system: str, B: int, n_rep: int, recycle: bool, streaming: bool
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from robust_nonlinear_mpc_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
 
     from robust_nonlinear_mpc_tpu.utils.platform import env_int
 

@@ -25,12 +25,9 @@ import time
 def main():
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    from robust_nonlinear_mpc_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

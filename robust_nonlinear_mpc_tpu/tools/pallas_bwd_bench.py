@@ -10,7 +10,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+from robust_nonlinear_mpc_tpu.utils.platform import enable_compile_cache
+
+enable_compile_cache()
 
 from robust_nonlinear_mpc_tpu.ops.sls_kernels import (
     SLSRegs, backward_solve_blocked,

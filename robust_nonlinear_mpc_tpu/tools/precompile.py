@@ -24,9 +24,9 @@ def precompile(system: str = "rocket", N: int = 15, cache_dir: str | None = None
     import jax
 
     if cache_dir:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        from robust_nonlinear_mpc_tpu.utils.platform import enable_compile_cache
+
+        enable_compile_cache(cache_dir)
 
     import jax.numpy as jnp
     import numpy as np

@@ -36,3 +36,30 @@ def env_int(name: str, default: int) -> int:
         return int(os.environ.get(name, default))
     except ValueError:
         return default
+
+
+def enable_compile_cache(cache_dir: str = ".jax_cache") -> bool:
+    """Opt into JAX's persistent compilation cache — except under pytest.
+
+    The tool entry points (bench_sweep, stage_profile, kernel_bench,
+    precompile, pallas benches) enable the cache to amortize the remote-TPU
+    compile tunnel across processes. The test suite must NOT inherit it:
+    this jaxlib's zstandard cache serializer segfaults under the suite's
+    130+ accumulated compilations (see conftest.py), and tool modules are
+    imported/called from tests — a process-wide `jax.config.update` here
+    would silently re-enable the cache for every test that follows.
+    Returns True when the cache was enabled.
+    """
+    import os
+
+    if "PYTEST_CURRENT_TEST" in os.environ:
+        return False
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        return False
+    return True
