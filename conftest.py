@@ -33,18 +33,19 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
 def pytest_collection_modifyitems(config, items):
-    """Run the tool tests (the largest XLA:CPU compiles — full solver
-    programs via tools/precompile, stage_profile, bench_sweep) FIRST.
+    """Best-effort compile-ordering fallback for single-process runs.
 
-    This jaxlib's CPU compiler reliably aborts (SIGSEGV/SIGABRT inside
-    backend_compile_and_load; initially misattributed to the persistent
-    cache's zstandard serializer, which is where the crash surfaced first)
-    when a large compilation lands after ~125 tests' accumulated
-    compilations in one process. Fronting the big compiles keeps the suite
-    inside the envelope; the stable sort preserves relative order
-    otherwise. (Measured 2026-08-19: the same suite crashes at test ~129
-    alphabetically, passes reordered. 2026-08-20: the round-2 parity and
-    large-horizon tests add more big compiles — front-load those too.)"""
+    The CONFIGURED runner is pytest-xdist (`addopts = -n 4 --dist loadfile`
+    in pyproject.toml): this jaxlib's CPU compiler reliably aborts
+    (SIGSEGV/SIGABRT inside backend_compile_and_load) when a large
+    compilation lands after ~125 tests' accumulated compilations in ONE
+    process, and the suite has outgrown every in-process mitigation —
+    xdist's process-per-worker split is the real fix. This sort (big
+    compiles first: tools/precompile, stage_profile, parity, large-horizon)
+    only improves the odds for explicit `-n 0` single-process runs; it is
+    NOT sufficient on its own (measured 2026-08-19/20: alphabetical order
+    crashes at ~test 129; reordered single-process runs crash again once
+    the suite grows past ~150 tests)."""
 
     def rank(it):
         nid = it.nodeid

@@ -145,14 +145,54 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
     logs, stats = run_monte_carlo(solver, steps, x0s, Ws, mesh)
     jax.block_until_ready(logs.state_trajectory)
 
-    # one-step tube containment: |x_{t+1} - nominal_x[t, 1]| <= backoff_x[t, 1]
+    # ------------------------------------------------------------------
+    # Statistics. Solver failure and tube/constraint violation are
+    # SEPARATE events and are reported separately: a failed solve carries
+    # no guarantee (its backoffs are NaN sentinels in until-convergence
+    # mode), so containment/margin statistics mask by log.success and the
+    # failure counts are reported alongside. The headline guarantee claim
+    # is `n_violation_steps_on_success` — constraint violations at steps
+    # whose own solve AND whose tube-predicting previous solve succeeded.
+    # ------------------------------------------------------------------
+    succ = np.asarray(logs.success).astype(bool)    # (B, T) per-step success
     xs = np.asarray(logs.state_trajectory)          # (B, T, nx)
+    us = np.asarray(logs.input_trajectory)          # (B, T-1, nu)
     nom = np.asarray(logs.nominal_x)                # (B, T, N+1, nx)
     bo = np.asarray(logs.backoff_x)                 # (B, T, N+1, nx)
+
+    # one-step tube containment: |x_{t+1} - nominal_x[t, 1]| <= backoff_x[t, 1]
     dev = np.abs(xs[:, 1:] - nom[:, :-1, 1])        # realized vs predicted
-    margin = bo[:, :-1, 1] - dev
+    margin = bo[:, :-1, 1] - dev                    # (B, T-1, nx); NaN = no tube
+    ok_step = succ[:, :-1] & np.isfinite(margin).all(axis=-1)   # (B, T-1)
     contained = margin >= -1e-6
-    containment_rate = float(contained.mean())
+    # masked (successful solves only) and conservative (failure counts as
+    # a miss) variants of the elementwise containment rate
+    containment_rate = float(contained[ok_step].mean()) if ok_step.any() else float("nan")
+    containment_rate_all = float(
+        np.where(ok_step[..., None], contained, False).mean()
+    )
+    worst_tube_margin = float(margin[ok_step].min()) if ok_step.any() else float("nan")
+    # cold (first 3 steps: SQP seed + transient) vs steady phase split
+    cold = min(3, margin.shape[1])
+    cont_cold = contained[:, :cold][ok_step[:, :cold]]
+    cont_steady = contained[:, cold:][ok_step[:, cold:]]
+
+    # closed-loop constraint margins G [x; u] - g, per scenario/step
+    Gm = np.asarray(m.G, float)
+    gv = np.asarray(m.g, float).reshape(-1)
+    z = np.concatenate([xs[:, :-1], us], axis=-1)   # (B, T-1, nx+nu)
+    cmarg = z @ Gm.T - gv                           # (B, T-1, ni)
+    worst_per_step = cmarg.max(axis=-1)             # (B, T-1)
+    viol_step = worst_per_step > 0
+    # attribution: solve t produced u_t; solve t-1 predicted the tube
+    # containing x_t (step 0's state is the sampled x0 — no prior tube)
+    prev_ok = np.concatenate(
+        [np.ones((B, 1), bool), succ[:, : max(steps - 2, 0)]], axis=1
+    )
+    viol_on_success = viol_step & succ[:, :-1] & prev_ok
+    worst_per_scenario = worst_per_step.max(axis=1)  # (B,)
+    viol_scen = np.flatnonzero(worst_per_scenario > 0)
+    top = viol_scen[np.argsort(worst_per_scenario[viol_scen])[::-1]][:8]
 
     results = {
         "system": system,
@@ -164,19 +204,35 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         "scenarios": B,
         "steps": steps,
         "devices": int(n_dev),
-        "n_violations": int(stats.n_violations),
+        # constraint-violation accounting
+        "n_violations": int(stats.n_violations),            # scenarios w/ any
+        "n_violation_steps": int(viol_step.sum()),
+        "n_violation_steps_on_success": int(viol_on_success.sum()),
         "worst_constraint_margin": float(stats.worst_margin),
+        "worst_violation_per_scenario_top": worst_per_scenario[top],
+        "violating_scenario_ids": top.astype(np.int32),
         "mean_cost": float(stats.mean_cost),
+        # tube containment, masked by solver success (NaN-free)
         "tube_containment_rate": containment_rate,
-        "worst_tube_margin": float(margin.min()),
-        "success_rate": float(np.asarray(logs.success).mean()),
+        "tube_containment_rate_all": containment_rate_all,
+        "tube_containment_cold": float(cont_cold.mean()) if cont_cold.size else float("nan"),
+        "tube_containment_steady": float(cont_steady.mean()) if cont_steady.size else float("nan"),
+        "worst_tube_margin": worst_tube_margin,
+        # failure accounting
+        "success_rate": float(succ.mean()),
+        "n_failed_steps": int((~succ).sum()),
+        "n_failed_scenarios": int((~succ).any(axis=1).sum()),
         "state_trajectories": xs[: min(B, 64)],  # sample for plotting
     }
     print(
         f"[mc] {system}: {B} scenarios x {steps} steps on {n_dev} device(s) — "
-        f"violations={results['n_violations']}, "
-        f"tube containment={containment_rate:.4f}, "
-        f"success={results['success_rate']:.4f}"
+        f"violations={results['n_violations']} scen / {results['n_violation_steps']} steps "
+        f"({results['n_violation_steps_on_success']} on successful solves), "
+        f"tube containment={containment_rate:.4f} on successful solves "
+        f"(cold {results['tube_containment_cold']:.4f} / steady {results['tube_containment_steady']:.4f}; "
+        f"worst margin {worst_tube_margin:.4g}), "
+        f"success={results['success_rate']:.4f} "
+        f"({results['n_failed_steps']} failed steps in {results['n_failed_scenarios']} scenarios)"
     )
     tag = (
         f"mc_validation_{system}"

@@ -169,11 +169,16 @@ def make_mpc_step(solver: SCPSLSSolver):
         X, U, persist, x = carry
         if not until_conv:
             res = None
+            # qp_iters = TOTAL IPM iterations this step (summed across the
+            # rti loop), matching the until-convergence branch's accounting
+            # so telemetry means the same thing in both modes
+            qp_total = jnp.zeros((), jnp.int32)
             for _ in range(max(rti, 1)):
                 res = solver._iteration(X, U, x, persist)
                 X, U, persist, _ = _accept(X, U, persist, res)
+                qp_total = qp_total + res.sls.qp_iters
             bx, bu = res.sls.backoff_x, res.sls.backoff_u
-            success, qp_iters = res.success, res.sls.qp_iters
+            success, qp_iters = res.success, qp_total
         else:
             # until-convergence SCP (the reference default, rti = -1): iterate
             # {linearize, fast-SLS} until the primal update satisfies
@@ -185,8 +190,13 @@ def make_mpc_step(solver: SCPSLSSolver):
             # mode.
             eps = solver.opts.epsilon_convergence
             max_scp = int(solver.opts.max_iter_scp)
-            zero_bx = jnp.zeros((N + 1, m.nx), solver.dtype)
-            zero_bu = jnp.zeros((N, m.nu), solver.dtype)
+            # NaN sentinel: a step whose FIRST SCP iteration fails has no
+            # accepted backoffs — logging zeros would fake a zero-width tube
+            # and downstream containment stats would count the step as a
+            # tube miss on top of success=False. NaN makes "no tube
+            # available" unmistakable; statistics must mask by log.success.
+            zero_bx = jnp.full((N + 1, m.nx), jnp.nan, solver.dtype)
+            zero_bu = jnp.full((N, m.nu), jnp.nan, solver.dtype)
 
             def scp_once(st):
                 X, U, persist, bx, bu, qpi, it, done, failed = st

@@ -401,20 +401,29 @@ class SCPSLSSolver:
         success = last_success if not run_until_converged else False
         if run_until_converged and self.opts.verbose:
             print(f"SCP did not converge in {iterations} iterations")
-        return self._package(res, iterations, success, t_start)
+        return self._package(res, iterations, success, t_start,
+                             failed_iterate=not last_success)
 
-    def _package(self, res: SCPIterResult | None, iterations, success, t_start):
+    def _package(self, res: SCPIterResult | None, iterations, success, t_start,
+                 failed_iterate: bool = False):
         jax.block_until_ready(res.X if res is not None else jnp.zeros(0))
         t_ms = (time.perf_counter() - t_start) * 1e3
         if res is None:
             return {"success": False, "iterations": iterations, "t_solve_ms": t_ms}
         sls = res.sls
+        # on a FAILED iteration, report the last ACCEPTED iterate as the
+        # primal — the reference never updates current_iteration_scp on
+        # socp_step failure (SCP_SLS_jit.py:96-99,426-430), and the batched
+        # while_loop path (sim/closed_loop.make_mpc_step) keeps the last
+        # accepted state the same way; run_closed_loop applies primal_u[:,0]
+        # as u0, so packaging the failed iterate would fly an unvetted input
+        X_out, U_out = (self._X, self._U) if failed_iterate else (res.X, res.U)
         out = {
             "success": bool(success),
             "iterations": int(iterations),
-            "primal_x": np.asarray(res.X).T,          # (nx, N+1) reference layout
-            "primal_u": np.asarray(res.U).T,          # (nu, N)
-            "primal_vec": np.asarray(pack_primal(res.X, res.U)),
+            "primal_x": np.asarray(X_out).T,          # (nx, N+1) reference layout
+            "primal_u": np.asarray(U_out).T,          # (nu, N)
+            "primal_vec": np.asarray(pack_primal(X_out, U_out)),
             "delta_vec": np.asarray(res.delta_vec),
             "dual_mu": np.asarray(sls.lam).T,         # (ni, N)
             "dual_mu_f": np.asarray(sls.lam_f),

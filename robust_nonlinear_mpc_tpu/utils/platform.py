@@ -51,8 +51,12 @@ def enable_compile_cache(cache_dir: str = ".jax_cache") -> bool:
     Returns True when the cache was enabled.
     """
     import os
+    import sys
 
-    if "PYTEST_CURRENT_TEST" in os.environ:
+    # PYTEST_CURRENT_TEST is only set while a test runs; "pytest" in
+    # sys.modules also covers module-level calls evaluated at collection
+    # time (e.g. a tool module imported from a test file)
+    if "PYTEST_CURRENT_TEST" in os.environ or "pytest" in sys.modules:
         return False
     try:
         import jax

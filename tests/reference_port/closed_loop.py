@@ -81,7 +81,10 @@ def run_quadrotor(steps=30, N=15, x0=None):
     return _run(m, solver, x0, steps)
 
 
-def run_rocket(steps=30, N=15):
+def make_rocket_oracle(N=15):
+    """Rocket oracle model + solver in the reference experiment config
+    (`main_rocket_robust_closed_loop.py:34-85`); shared by run_rocket and
+    the sensitivity probes (sensitivity.py)."""
     m = OracleRocket()
     m.dt = 0.05
     sigma_theta = np.deg2rad(2.0)
@@ -98,5 +101,10 @@ def run_rocket(steps=30, N=15):
         N, Q, R, m, 10 * Q,
         Q_reg=1e4 * np.eye(m.nx), R_reg=1e4 * np.eye(m.nu),
         Q_reg_f=1e4 * np.eye(m.nx), rti=1, fast_sls_rti_steps=1)
+    return m, solver
+
+
+def run_rocket(steps=30, N=15):
+    m, solver = make_rocket_oracle(N)
     rng = np.random.RandomState(0)  # == np.random.seed(0) global MT stream
     return _run(m, solver, ROCKET_X0, steps, noise=True, rng=rng)

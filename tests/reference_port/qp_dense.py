@@ -21,6 +21,14 @@ import numpy as np
 import scipy.linalg as sla
 
 
+# IPM initial slack floor. 1.0 is the oracle's production value; the
+# sensitivity probe (sensitivity.py) perturbs it to 3.0 — both give an
+# EXACT solver at tol=1e-10, so any closed-loop divergence between the two
+# measures the loop's intrinsic sensitivity to the QP solver's selection
+# among near-optimal solutions, not solver error (PARITY.md).
+INIT_SLACK = 1.0
+
+
 def solve_dense_qp(P, q, C, d, F, h, *, tol=1e-10, max_iter=100):
     """Return dict(y, nu, lam, s, cost, iters, success)."""
     P = np.asarray(P, float)
@@ -47,7 +55,7 @@ def solve_dense_qp(P, q, C, d, F, h, *, tol=1e-10, max_iter=100):
         z0 = np.linalg.lstsq(KKT0, rhs0, rcond=None)[0]
     y = z0[:ny]
     nu = z0[ny:]
-    s = np.maximum(h - F @ y, 1.0)
+    s = np.maximum(h - F @ y, INIT_SLACK)
     lam = np.ones(mi)
 
     scale = 1.0 + max(np.abs(q).max(initial=0.0), np.abs(h).max(initial=0.0),

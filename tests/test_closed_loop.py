@@ -123,3 +123,44 @@ def test_batched_until_convergence_matches_host_driver():
     np.testing.assert_allclose(
         np.asarray(log.state_trajectory).T, out["state_trajectory"], atol=1e-7
     )
+
+
+def test_failure_path_host_returns_last_accepted_iterate():
+    """Reference semantics on a failed SCP iteration: the solver never
+    accepts the failed iterate (SCP_SLS_jit.py:96-99 breaks without
+    updating current_iteration_scp), so solve() must return the last
+    ACCEPTED primal — here the nominal init, since the crippled IPM budget
+    makes the very first SCP iteration fail. The batched while_loop path
+    rejects failed iterates the same way; both must agree (ADVICE r2)."""
+    from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions
+
+    m, solver = _pendulum_solver(rti=-1, inner=0, N=8)
+    # 1 Mehrotra iteration at 1e-12 tolerance cannot converge -> QP reports
+    # failure -> the SCP iteration is rejected on both paths
+    crippled = solver.opts._replace(
+        ipm=IPMOptions(max_iter=1, tol=1e-12), verbose=False,
+        epsilon_convergence=1e-9, max_iter_scp=6,
+    )
+    solver.opts = crippled
+    x0 = np.array([0.5, 0.5, 0.0, 0.0])
+    assert solver.solve_nominal_trajectory(x0)
+    X_nom = np.asarray(solver._X).copy()
+    U_nom = np.asarray(solver._U).copy()
+    sol = solver.solve(x0)
+    assert not sol["success"]
+    # host driver: primal is the last accepted iterate (the nominal init),
+    # NOT the failed iterate
+    np.testing.assert_allclose(sol["primal_x"], X_nom.T, atol=0)
+    np.testing.assert_allclose(sol["primal_u"], U_nom.T, atol=0)
+
+    # batched path: same rejection semantics -> U stays at the SQP nominal
+    m2, solver_b = _pendulum_solver(rti=-1, inner=0, N=8)
+    solver_b.opts = crippled
+    rollout = build_batched_closed_loop(solver_b, 2)
+    log = jax.jit(rollout)(jnp.asarray(x0), jnp.zeros((2, m2.nw)))
+    assert not bool(np.asarray(log.success)[0])
+    np.testing.assert_allclose(
+        np.asarray(log.nominal_u)[0], U_nom, atol=1e-9
+    )
+    # failed-step backoffs are NaN sentinels, not fake zero tubes
+    assert np.isnan(np.asarray(log.backoff_x)[0]).all()

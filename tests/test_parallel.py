@@ -96,3 +96,53 @@ def test_multihost_helpers_single_process(pendulum_solver):
     assert out["processes"] == 1
     assert out["devices"] == 8
     assert out["mpc_steps_per_s"] > 0
+
+
+def test_sharded_mc_production_kernel_config():
+    """The PRODUCTION TPU kernel configuration (bench.py defaults: fused
+    Pallas Newton kernels kkt="pallas", column-blocked SLS kernels
+    sls_block=2, streaming response, dual recycling + cross-step QP warm
+    start, adaptive IPM budget) under the scenario mesh — the headline
+    config must not be sharding-untested (VERDICT r2 item 10). On CPU the
+    Pallas kernels run in interpret mode via the same custom_vmap path the
+    TPU uses; shard_map(vmap(...)) is batched, so the kernel rule (not the
+    unbatched fallback) is exercised."""
+    from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions
+
+    m = Pendulum()
+    m.E = 0.003 * np.eye(4)
+    solver = SCPSLSSolver(
+        8, np.eye(4), np.eye(1), m, 10 * np.eye(4),
+        Q_reg=1e3 * np.eye(4), R_reg=1e3 * np.eye(1), Q_reg_f=1e4 * np.eye(4),
+        rti=1, fast_sls_rti_steps=1,
+    )
+    solver.opts = solver.opts._replace(
+        ipm=IPMOptions(max_iter=15, tol=1e-9, kkt="pallas"),
+        adaptive_ipm_budget=(6, 15),
+        sls_block=2,
+        streaming_response=True,
+        recycle_eta=True,
+        recycle_warm_qp=True,
+    )
+    steps, B = 2, 8
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(
+        np.array([0.4, 0.3, 0.0, 0.0])[None] + 0.05 * rng.standard_normal((B, 4))
+    )
+    Ws = jnp.asarray(2 * rng.random((B, steps, m.nw)) - 1)
+
+    mesh = scenario_mesh()
+    logs, stats = run_monte_carlo(solver, steps, x0s, Ws, mesh)
+
+    rollout = build_batched_closed_loop(solver, steps)
+    ref = jax.jit(jax.vmap(rollout))(x0s, Ws)
+
+    assert bool(np.asarray(logs.success).all())
+    np.testing.assert_allclose(
+        np.asarray(logs.state_trajectory),
+        np.asarray(ref.state_trajectory), atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logs.input_trajectory),
+        np.asarray(ref.input_trajectory), atol=1e-8,
+    )
