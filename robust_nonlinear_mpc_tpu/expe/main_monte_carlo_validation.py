@@ -29,9 +29,13 @@ FOLDER = "monte_carlo_validation"
 
 def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
              recycle=False, streaming=False, warm_qp=False, qp_iters=15,
-             kkt="riccati", converged=False, adaptive=False):
+             kkt="riccati", converged=False, adaptive=False, host_devices=8):
     if device == "cpu":
-        setup("cpu", x64=True, host_devices=8)
+        # host_devices: XLA:CPU collectives run one thread per virtual
+        # device and its rendezvous aborts after 40 s if the threads are
+        # starved — on small hosts (this box has 2 cores) use
+        # --host-devices <= core count for long-running converged-mode runs
+        setup("cpu", x64=True, host_devices=host_devices)
     else:
         setup(None, x64=False)
     import jax
@@ -264,9 +268,13 @@ if __name__ == "__main__":
                         "instead of RTI(1/1)")
     p.add_argument("--kkt", default="riccati",
                    choices=["riccati", "condensed", "pallas"])
+    p.add_argument("--host-devices", type=int, default=8, dest="host_devices",
+                   help="virtual CPU device count (--device cpu); keep <= "
+                        "physical cores for long runs (XLA:CPU collective "
+                        "rendezvous aborts when its threads are starved)")
     args = p.parse_args()
     if args.run:
         generate(args.system, args.scenarios, args.steps, args.device, args.seed,
                  recycle=args.recycle, streaming=args.streaming,
                  warm_qp=args.warm_qp, qp_iters=args.qp_iters, kkt=args.kkt, converged=args.converged,
-                 adaptive=args.adaptive)
+                 adaptive=args.adaptive, host_devices=args.host_devices)
