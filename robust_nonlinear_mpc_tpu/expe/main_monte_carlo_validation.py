@@ -269,9 +269,12 @@ if __name__ == "__main__":
     p.add_argument("--kkt", default="riccati",
                    choices=["riccati", "condensed", "pallas"])
     p.add_argument("--host-devices", type=int, default=8, dest="host_devices",
-                   help="virtual CPU device count (--device cpu); keep <= "
-                        "physical cores for long runs (XLA:CPU collective "
-                        "rendezvous aborts when its threads are starved)")
+                   help="virtual CPU device count (--device cpu). Use 1 for "
+                        "converged-mode runs: XLA:CPU collectives abort with "
+                        "a 40 s rendezvous termination timeout when shards "
+                        "reach the psum far apart in time, which worst-lane "
+                        "while_loop shards (until-convergence SCP) routinely "
+                        "do; a 1-device mesh has no collectives")
     args = p.parse_args()
     if args.run:
         generate(args.system, args.scenarios, args.steps, args.device, args.seed,
