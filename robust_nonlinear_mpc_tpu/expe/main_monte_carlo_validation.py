@@ -29,7 +29,8 @@ FOLDER = "monte_carlo_validation"
 
 def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
              recycle=False, streaming=False, warm_qp=False, qp_iters=15,
-             kkt="riccati", converged=False, adaptive=False, host_devices=8):
+             kkt="riccati", converged=False, adaptive=False, host_devices=8,
+             scp_eps=None):
     if device == "cpu":
         # host_devices: XLA:CPU collectives run one thread per virtual
         # device and its rendezvous aborts after 40 s if the threads are
@@ -104,9 +105,18 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         # miss/violation sits on a failed step; successful converged solves
         # hold the tube with positive margin). Validation mode pays the
         # while_loop's slowest lane — correctness over throughput here.
-        scp_eps = 1e-4 if solver.dtype == jnp.float32 else 1e-8
+        # f32 floor: the SCP delta is the max |primal update|; QP solutions
+        # at tol 3e-5 on the rocket's u-scale ~7 / x-scale ~5 carry ~2e-4
+        # of solver noise, so 1e-4 was UNREACHABLE in f32 (measured TPU
+        # 16x3: success 0.0000, every lane burning the full 20x60 budget —
+        # which is also what blew the 128/1024 runs up into device errors).
+        # 1e-3 mirrors the reference's own fast-SLS primal criterion
+        # (fast_SLS_jit.py:594); --scp-eps overrides.
+        scp_eps_v = scp_eps if scp_eps is not None else (
+            1e-3 if solver.dtype == jnp.float32 else 1e-8
+        )
         solver.opts = solver.opts._replace(
-            rti=-1, fast_sls_rti_steps=0, epsilon_convergence=scp_eps,
+            rti=-1, fast_sls_rti_steps=0, epsilon_convergence=scp_eps_v,
             max_iter_scp=20, sls_max_iter=60,
         )
     if solver.dtype == jnp.float32:
@@ -268,6 +278,9 @@ if __name__ == "__main__":
                         "instead of RTI(1/1)")
     p.add_argument("--kkt", default="riccati",
                    choices=["riccati", "condensed", "pallas"])
+    p.add_argument("--scp-eps", type=float, default=None, dest="scp_eps",
+                   help="override the converged-mode SCP delta criterion "
+                        "(default: 1e-3 f32 / 1e-8 f64)")
     p.add_argument("--host-devices", type=int, default=8, dest="host_devices",
                    help="virtual CPU device count (--device cpu). Use 1 for "
                         "converged-mode runs: XLA:CPU collectives abort with "
@@ -280,4 +293,5 @@ if __name__ == "__main__":
         generate(args.system, args.scenarios, args.steps, args.device, args.seed,
                  recycle=args.recycle, streaming=args.streaming,
                  warm_qp=args.warm_qp, qp_iters=args.qp_iters, kkt=args.kkt, converged=args.converged,
-                 adaptive=args.adaptive, host_devices=args.host_devices)
+                 adaptive=args.adaptive, host_devices=args.host_devices,
+                 scp_eps=args.scp_eps)
