@@ -30,7 +30,7 @@ FOLDER = "monte_carlo_validation"
 def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
              recycle=False, streaming=False, warm_qp=False, qp_iters=15,
              kkt="riccati", converged=False, adaptive=False, host_devices=8,
-             scp_eps=None):
+             scp_eps=None, max_iter_scp=None):
     if device == "cpu":
         # host_devices: XLA:CPU collectives run one thread per virtual
         # device and its rendezvous aborts after 40 s if the threads are
@@ -115,9 +115,17 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         scp_eps_v = scp_eps if scp_eps is not None else (
             1e-3 if solver.dtype == jnp.float32 else 1e-8
         )
+        # SCP converges LINEARLY on this problem (measured contraction
+        # ~0.6-0.77/iteration, see ROUND3.md): 1e-8 from a 3.5e-1 cold
+        # delta needs ~67 iterations, 1e-3 needs ~10. The reference's own
+        # budget is MAX_ITER_SCP=100 (SCP_SLS_jit.py:50); default here
+        # scales with the criterion.
+        max_scp = max_iter_scp if max_iter_scp is not None else (
+            20 if solver.dtype == jnp.float32 else 80
+        )
         solver.opts = solver.opts._replace(
             rti=-1, fast_sls_rti_steps=0, epsilon_convergence=scp_eps_v,
-            max_iter_scp=20, sls_max_iter=60,
+            max_iter_scp=int(max_scp), sls_max_iter=60,
         )
     if solver.dtype == jnp.float32:
         # --qp-iters validates robustness at a bounded IPM budget (the bench
@@ -278,6 +286,10 @@ if __name__ == "__main__":
                         "instead of RTI(1/1)")
     p.add_argument("--kkt", default="riccati",
                    choices=["riccati", "condensed", "pallas"])
+    p.add_argument("--max-iter-scp", type=int, default=None,
+                   dest="max_iter_scp",
+                   help="override the converged-mode SCP iteration budget "
+                        "(default: 20 f32 / 80 f64)")
     p.add_argument("--scp-eps", type=float, default=None, dest="scp_eps",
                    help="override the converged-mode SCP delta criterion "
                         "(default: 1e-3 f32 / 1e-8 f64)")
@@ -294,4 +306,4 @@ if __name__ == "__main__":
                  recycle=args.recycle, streaming=args.streaming,
                  warm_qp=args.warm_qp, qp_iters=args.qp_iters, kkt=args.kkt, converged=args.converged,
                  adaptive=args.adaptive, host_devices=args.host_devices,
-                 scp_eps=args.scp_eps)
+                 scp_eps=args.scp_eps, max_iter_scp=args.max_iter_scp)
