@@ -30,7 +30,7 @@ FOLDER = "monte_carlo_validation"
 def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
              recycle=False, streaming=False, warm_qp=False, qp_iters=15,
              kkt="riccati", converged=False, adaptive=False, host_devices=8,
-             scp_eps=None, max_iter_scp=None):
+             scp_eps=None, max_iter_scp=None, chunks=1):
     if device == "cpu":
         # host_devices: XLA:CPU collectives run one thread per virtual
         # device and its rendezvous aborts after 40 s if the threads are
@@ -44,7 +44,6 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
     import numpy as np
 
     from robust_nonlinear_mpc_tpu.expe._common import save_results
-    from robust_nonlinear_mpc_tpu.parallel.mc import run_monte_carlo
     from robust_nonlinear_mpc_tpu.parallel.mesh import scenario_mesh
     from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions
     from robust_nonlinear_mpc_tpu.solvers.sqp import SQPOptions
@@ -156,16 +155,47 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
 
     mesh = scenario_mesh()
     n_dev = mesh.devices.size
-    B = (scenarios // n_dev) * n_dev
+    # chunking: the single-program per-chip ceiling is HBM-bound (measured
+    # v5e: 8192 rocket lanes fit, 10240 fault) — `chunks` splits the batch
+    # into equal same-shape jitted invocations of ONE compiled program and
+    # aggregates; scenarios are independent, so this is exact
+    chunks = max(1, int(chunks))
+    B = (scenarios // (n_dev * chunks)) * n_dev * chunks
+    Bc = B // chunks
     rng = np.random.default_rng(seed)
-    x0s = jnp.asarray(
-        x_center[None] + x_spread * rng.standard_normal((B, m.nx)), solver.dtype
+    x0s_h = np.asarray(
+        x_center[None] + x_spread * rng.standard_normal((B, m.nx))
     )
     # per-step disturbances w ~ U[-1, 1]^nw (the model applies E w)
-    Ws = jnp.asarray(2 * rng.random((B, steps, m.nw)) - 1, solver.dtype)
+    Ws_h = 2 * rng.random((B, steps, m.nw)) - 1
 
-    logs, stats = run_monte_carlo(solver, steps, x0s, Ws, mesh)
-    jax.block_until_ready(logs.state_trajectory)
+    from robust_nonlinear_mpc_tpu.parallel.mc import make_sharded_mc
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from robust_nonlinear_mpc_tpu.parallel.mesh import SCENARIO_AXIS
+
+    fn = make_sharded_mc(solver, steps, mesh)
+    sh = NamedSharding(mesh, P(SCENARIO_AXIS))
+    logs_np, stats_list = [], []
+    for c in range(chunks):
+        sl = slice(c * Bc, (c + 1) * Bc)
+        lc, sc = fn(
+            jax.device_put(jnp.asarray(x0s_h[sl], solver.dtype), sh),
+            jax.device_put(jnp.asarray(Ws_h[sl], solver.dtype), sh),
+        )
+        jax.block_until_ready(lc.state_trajectory)
+        # pull each chunk to host so the next chunk reuses the HBM
+        logs_np.append(jax.tree_util.tree_map(np.asarray, lc))
+        stats_list.append(jax.tree_util.tree_map(float, sc))
+    logs = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *logs_np
+    )
+    stats = stats_list[0]._replace(
+        n_scenarios=sum(s.n_scenarios for s in stats_list),
+        n_violations=sum(s.n_violations for s in stats_list),
+        worst_margin=max(s.worst_margin for s in stats_list),
+        mean_cost=sum(s.mean_cost * s.n_scenarios for s in stats_list)
+        / sum(s.n_scenarios for s in stats_list),
+    )
 
     # ------------------------------------------------------------------
     # Statistics. Solver failure and tube/constraint violation are
@@ -286,6 +316,11 @@ if __name__ == "__main__":
                         "instead of RTI(1/1)")
     p.add_argument("--kkt", default="riccati",
                    choices=["riccati", "condensed", "pallas"])
+    p.add_argument("--chunks", type=int, default=1,
+                   help="split the batch into this many equal same-shape "
+                        "jitted invocations (one compiled program) and "
+                        "aggregate -- for batches above the single-program "
+                        "HBM ceiling (v5e: 8192 rocket lanes)")
     p.add_argument("--max-iter-scp", type=int, default=None,
                    dest="max_iter_scp",
                    help="override the converged-mode SCP iteration budget "
@@ -306,4 +341,5 @@ if __name__ == "__main__":
                  recycle=args.recycle, streaming=args.streaming,
                  warm_qp=args.warm_qp, qp_iters=args.qp_iters, kkt=args.kkt, converged=args.converged,
                  adaptive=args.adaptive, host_devices=args.host_devices,
-                 scp_eps=args.scp_eps, max_iter_scp=args.max_iter_scp)
+                 scp_eps=args.scp_eps, max_iter_scp=args.max_iter_scp,
+                 chunks=args.chunks)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from robust_nonlinear_mpc_tpu.models.base import Model
+from robust_nonlinear_mpc_tpu.utils.numerics import mv
 
 
 class LTI(Model):
@@ -37,7 +38,7 @@ class LTI(Model):
         self.ni_f = self.Gf.shape[0]
 
     def ddyn(self, x, u, h=None):
-        return self.A @ x + self.B @ u
+        return mv(self.A, x) + mv(self.B, u)
 
 
 class LTV(Model):
@@ -59,7 +60,7 @@ class LTV(Model):
         self.gf_vec = np.ones(self.ni_f)
 
     def ddyn(self, x, u, k: int = 0):
-        return self.A_stack[k] @ x + self.B_stack[k] @ u
+        return mv(self.A_stack[k], x) + mv(self.B_stack[k], u)
 
     def update_model(self, A_stack, B_stack, E_stack, g_stack, gf_vec=None):
         self.A_stack = np.asarray(A_stack, float)

@@ -40,10 +40,21 @@ from jax import lax
 
 from robust_nonlinear_mpc_tpu.utils.numerics import (
     mm,
+    mv,
     qp_dir_prec,
     spd_solve_refined,
     sym,
 )
+
+
+def _dmv(a, b):
+    """Matvec at the IPM direction precision. Raw `@` matvecs are FORBIDDEN
+    on solver paths: unbatched they run full-f32 (VPU), but under vmap they
+    become batched MXU GEMMs at DEFAULT (bf16) precision — measured r3: the
+    vmapped QP's KKT residual degraded 6x (1.6e-4 -> 9.3e-4) on TPU versus
+    the identical unbatched program, stalling converged-mode SCP at a 0.02
+    delta plateau. Every matmul must pin a precision."""
+    return jnp.matmul(a, b[..., None], precision=qp_dir_prec())[..., 0]
 
 
 class QPStatics(NamedTuple):
@@ -160,7 +171,7 @@ def _residuals(stat: QPStatics, data: QPData, X, U, lam, s, lam_f, s_f, nu_dyn):
     GzX = jnp.einsum("kri,ki->kr", stat.Gx, X[:N], precision=hp)
     GzU = jnp.einsum("kru,ku->kr", stat.Gu, U, precision=hp)
     rineq = GzX + GzU + s - data.h
-    rineq_f = stat.Gf @ X[N] + s_f - data.hf
+    rineq_f = mv(stat.Gf, X[N]) + s_f - data.hf
 
     # stationarity
     # rx_k (k=1..N-1): Hx_k x_k + qx_k + Gx_k' lam_k + nu_{k-1} - A_k' nu_k
@@ -171,7 +182,7 @@ def _residuals(stat: QPStatics, data: QPData, X, U, lam, s, lam_f, s_f, nu_dyn):
         + nu_dyn[: N - 1]
         - jnp.einsum("kji,kj->ki", data.A[1:N], nu_dyn[1:N], precision=hp)
     )
-    rxN = stat.HxN @ X[N] + data.qx[N] + stat.Gf.T @ lam_f + nu_dyn[N - 1]
+    rxN = mv(stat.HxN, X[N]) + data.qx[N] + mv(stat.Gf.T, lam_f) + nu_dyn[N - 1]
     ru = (
         jnp.einsum("kij,kj->ki", stat.Hu, U, precision=hp)
         + data.qu
@@ -199,7 +210,7 @@ def _curvature(stat: QPStatics, W, W_f):
     Cxx = stat.Hx + jnp.einsum("kri,krj->kij", Gx, WGx, precision=dp)
     Cuu = stat.Hu + jnp.einsum("kru,krv->kuv", Gu, WGu, precision=dp)
     Cxu = jnp.einsum("kri,krv->kiv", Gx, WGu, precision=dp)
-    PN = stat.HxN + Gf.T @ (W_f[:, None] * Gf)
+    PN = stat.HxN + jnp.matmul(Gf.T, W_f[:, None] * Gf, precision=dp)
     return Cxx, Cuu, Cxu, PN
 
 
@@ -236,14 +247,14 @@ def _factorize_with_presolve(stat: QPStatics, data: QPData, W, W_f,
         n_u = Fuu.shape[0]
         Fuu_r = sym(Fuu) + jnp.trace(Fuu) * 1e-14 * jnp.eye(n_u, dtype=Fuu.dtype)
         w = p_next + dmm(P_next, req_k[:, None])[:, 0]
-        f_u = rbu_k + B.T @ w
+        f_u = rbu_k + _dmv(B.T, w)
         sol = -spd_solve_refined(
             Fuu_r, jnp.concatenate([Fxu.T, f_u[:, None]], axis=1)
         )
         K = sol[:, :nx]
         kff = sol[:, nx]
         P = sym(Fxx + mm(Fxu, K))
-        p = rbx_k + A.T @ w + Fxu @ kff
+        p = rbx_k + _dmv(A.T, w) + _dmv(Fxu, kff)
         return (P, p), (K, Fuu_r, Fxu, P_next, kff, p_next)
 
     blocks = (data.A, data.B, Cxx, Cuu, Cxu, rbx, rbu, req)
@@ -260,9 +271,9 @@ def _forward_sweep(data: QPData, K, kff, req, P_next_seq, p_next_seq):
 
     def fwd(dx, per_k):
         A, B, K_k, kff_k, req_k, Pn, p_next = per_k
-        du = K_k @ dx + kff_k
-        dx_next = A @ dx + B @ du + req_k
-        dnu = -(Pn @ dx_next + p_next)
+        du = _dmv(K_k, dx) + kff_k
+        dx_next = _dmv(A, dx) + _dmv(B, du) + req_k
+        dnu = -(_dmv(Pn, dx_next) + p_next)
         return dx_next, (dx, du, dnu)
 
     per_k_f = (data.A, data.B, K, kff, req, P_next_seq, p_next_seq)
@@ -285,9 +296,9 @@ def _solve_newton(stat: QPStatics, data: QPData, fact, rbx, rbxN, rbu, req):
     def bwd(p_next, per_k):
         A, B, Fuu_k, Fxu_k, Pn, rbx_k, rbu_k, req_k = per_k
         w = p_next + jnp.matmul(Pn, req_k[:, None], precision=dp)[:, 0]
-        f_u = rbu_k + B.T @ w
+        f_u = rbu_k + _dmv(B.T, w)
         kff = -spd_solve_refined(Fuu_k, f_u[:, None])[:, 0]
-        p = rbx_k + A.T @ w + Fxu_k @ kff
+        p = rbx_k + _dmv(A.T, w) + _dmv(Fxu_k, kff)
         return p, (kff, p_next)
 
     per_k = (data.A, data.B, Fuu_seq, Fxu, P_next_seq, rbx, rbu, req)
@@ -394,7 +405,7 @@ def _condensed_newton(stat: QPStatics, pre: CondensedKKT, W, W_f, req):
     mbar = jnp.concatenate(
         [
             jnp.einsum("kri,ki->kr", stat.Gx, rbar[:N], precision=hp).reshape(-1),
-            stat.Gf @ rbar[N],
+            jnp.matmul(stat.Gf, rbar[N][:, None], precision=hp)[:, 0],
         ]
     )
     W_mbar = wf * mbar
@@ -433,7 +444,7 @@ def _condensed_newton(stat: QPStatics, pre: CondensedKKT, W, W_f, req):
             + jnp.einsum("kri,kr->ki", stat.Gx[1:N], dlam[1:N], precision=hp)
             + rx
         )
-        s_term = stat.HxN @ dX[N] + stat.Gf.T @ dlam_f + rxN
+        s_term = mv(stat.HxN, dX[N]) + mv(stat.Gf.T, dlam_f) + rxN
         s_aug = jnp.concatenate(
             [jnp.zeros((1, nx), dtype=dX.dtype), s_stage, s_term[None]], axis=0
         )
@@ -502,7 +513,7 @@ def solve_qp(
             "kri,ki->kr", stat.Gx, X0[:N], precision=lax.Precision.HIGHEST
         )
         s0 = jnp.maximum(slack0, opts.init_slack)
-        sf0 = jnp.maximum(data.hf - stat.Gf @ X0[N], opts.init_slack)
+        sf0 = jnp.maximum(data.hf - mv(stat.Gf, X0[N]), opts.init_slack)
         lam0 = jnp.ones((N, ni), dtype=dtype)
         lamf0 = jnp.ones((ni_f,), dtype=dtype)
         nu0 = jnp.zeros((N, nx), dtype=dtype)
@@ -516,7 +527,7 @@ def solve_qp(
             + jnp.einsum("kru,ku->kr", stat.Gu, U0, precision=hp)
         )
         s0 = jnp.maximum(slack0, margin)
-        sf0 = jnp.maximum(data.hf - stat.Gf @ X0[N], margin)
+        sf0 = jnp.maximum(data.hf - mv(stat.Gf, X0[N]), margin)
         lam0 = jnp.maximum(init.lam, margin)
         lamf0 = jnp.maximum(init.lam_f, margin)
         nu0 = init.nu_dyn
@@ -619,7 +630,7 @@ def solve_qp(
             hp = qp_dir_prec()
             rbx = rx + jnp.einsum("kri,kr->ki", stat.Gx[1:N], t[1:N], precision=hp)
             rbx = jnp.concatenate([jnp.zeros((1, nx), dtype=dtype), rbx], axis=0)
-            rbxN = rxN + stat.Gf.T @ t_f
+            rbxN = rxN + jnp.matmul(stat.Gf.T, t_f[:, None], precision=hp)[:, 0]
             rbu = ru + jnp.einsum("kru,kr->ku", stat.Gu, t, precision=hp)
             return rbx, rbxN, rbu
 
@@ -630,7 +641,7 @@ def solve_qp(
             )
             ds = -rineq - dGz
             dlam = -(rcomp + lam * ds) / s
-            dGz_f = stat.Gf @ dX[N]
+            dGz_f = jnp.matmul(stat.Gf, dX[N][:, None], precision=hp)[:, 0]
             ds_f = -rineq_f - dGz_f
             dlam_f = -(rcomp_f + lam_f * ds_f) / s_f
             return ds, dlam, ds_f, dlam_f
@@ -759,10 +770,10 @@ def _finalize(stat, data, opts, N, dtype, n_comp, kkt_scalar,
     # dual of the initial-condition pin, from stationarity at x_0
     # (consumers: SQP merit-penalty adaptation)
     nu_init = -(
-        stat.Hx[0] @ X[0]
+        mv(stat.Hx[0], X[0])
         + data.qx[0]
-        + stat.Gx[0].T @ lam[0]
-        - data.A[0].T @ nu_dyn[0]
+        + mv(stat.Gx[0].T, lam[0])
+        - mv(data.A[0].T, nu_dyn[0])
     )
 
     # cost = y'Py + q'y  (P = blkdiag(Q, R, ..., Qf) = 0.5 * H blocks)
@@ -772,7 +783,7 @@ def _finalize(stat, data, opts, N, dtype, n_comp, kkt_scalar,
         * (
             jnp.sum(jnp.einsum("kij,kj->ki", stat.Hx, X[:N], precision=hp) * X[:N])
             + jnp.sum(jnp.einsum("kij,kj->ki", stat.Hu, U, precision=hp) * U)
-            + X[N] @ stat.HxN @ X[N]
+            + jnp.sum(X[N] * mv(stat.HxN, X[N]))
         )
         + jnp.sum(data.qx * X)
         + jnp.sum(data.qu * U)

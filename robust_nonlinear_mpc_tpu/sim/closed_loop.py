@@ -29,6 +29,7 @@ from robust_nonlinear_mpc_tpu.solvers.fast_sls import (
 )
 from robust_nonlinear_mpc_tpu.solvers.scp_sls import SCPSLSSolver
 from robust_nonlinear_mpc_tpu.solvers.sqp import sqp_solve
+from robust_nonlinear_mpc_tpu.utils.numerics import mv
 
 
 class ClosedLoopLog(NamedTuple):
@@ -230,7 +231,7 @@ def make_mpc_step(solver: SCPSLSSolver):
             # returns True exactly then)
             success = done
         u0 = U[0]
-        x_next = m.ddyn(x, u0) + E @ w_t
+        x_next = m.ddyn(x, u0) + mv(E, w_t)
         # warm shift for the next step (reference reset_warm_start)
         Xs, Us = solver._warm_shift(X, U)
         persist_next = FastSLSPersist.init(

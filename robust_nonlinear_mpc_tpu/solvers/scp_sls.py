@@ -46,7 +46,7 @@ from robust_nonlinear_mpc_tpu.solvers.fast_sls import (
     warm_shift_persist,
 )
 from robust_nonlinear_mpc_tpu.solvers.sqp import SQPOptions, sqp_solve
-from robust_nonlinear_mpc_tpu.utils.numerics import mm
+from robust_nonlinear_mpc_tpu.utils.numerics import mm, mv
 
 
 class SCPSLSOptions(NamedTuple):
@@ -230,10 +230,10 @@ class SCPSLSSolver:
         stat = self.prob.stat
         A, B, c = m.linearize_traj(X, U)
         g_res = self._g[None] - mm(X[:N], stat.Gx.T) - mm(U, stat.Gu.T)
-        gf_res = self._gf - stat.Gf @ X[N]
+        gf_res = self._gf - mv(stat.Gf, X[N])
         # linear cost q = 2 H y_nom (reference :362-366)
         qx = jnp.concatenate(
-            [2 * mm(X[:N], self._Qj.T), (2 * self._Qfj @ X[N])[None]], axis=0
+            [2 * mm(X[:N], self._Qj.T), (2 * mv(self._Qfj, X[N]))[None]], axis=0
         )
         qu = 2 * mm(U, self._Rj.T)
         return A, B, c, qx, qu, g_res, gf_res, x0 - X[0]
@@ -260,7 +260,7 @@ class SCPSLSSolver:
         cost_nlp = (
             jnp.sum(mm(X_new[:N], self._Qj.T) * X_new[:N])
             + jnp.sum(mm(U_new, self._Rj.T) * U_new)
-            + X_new[N] @ self._Qfj @ X_new[N]
+            + jnp.sum(X_new[N] * mv(self._Qfj, X_new[N]))
         )
 
         return SCPIterResult(

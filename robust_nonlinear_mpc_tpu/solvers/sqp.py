@@ -33,7 +33,7 @@ from robust_nonlinear_mpc_tpu.ops.qp_ipm import (
     QPStatics,
     solve_qp,
 )
-from robust_nonlinear_mpc_tpu.utils.numerics import mm
+from robust_nonlinear_mpc_tpu.utils.numerics import mm, mv
 
 
 class SQPOptions(NamedTuple):
@@ -63,7 +63,7 @@ def _traj_cost(X, U, Q, R, Qf):
     return (
         jnp.sum(mm(X[:N], Q.T) * X[:N])
         + jnp.sum(mm(U, R.T) * U)
-        + X[N] @ Qf @ X[N]
+        + jnp.sum(X[N] * mv(Qf, X[N]))
     )
 
 
@@ -131,8 +131,8 @@ def sqp_solve(
 
         A, B, c = model.linearize_traj(X, U)
         h = g[None] - mm(X[:N], Gx.T) - mm(U, Gu.T)
-        hf = gf - Gf @ X[N]
-        qx = jnp.concatenate([2 * mm(X[:N], Q.T), (2 * Qf @ X[N])[None]], axis=0)
+        hf = gf - mv(Gf, X[N])
+        qx = jnp.concatenate([2 * mm(X[:N], Q.T), (2 * mv(Qf, X[N]))[None]], axis=0)
         qu = 2 * mm(U, R.T)
 
         data = QPData(A=A, B=B, c=c, qx=qx, qu=qu, h=h, hf=hf, xinit=x0 - X[0])
