@@ -59,17 +59,20 @@ def _bench_one(N, mesh, reps):
         Q_reg_f=jnp.asarray(1e4 * np.eye(nx)),
     )
 
-    def run():
-        out = sharded_tube_iteration(
-            mesh, A, B, E, Gmat, Gf, mu, mu_f, beta0, beta_f0, regs, 1e-10
+    @jax.jit
+    def run_jit(mu_, beta0_, beta_f0_):
+        # jit once: sharded_tube_iteration builds its shard_map per call,
+        # so an unjitted loop would re-trace every rep and time tracing,
+        # not the kernels
+        return sharded_tube_iteration(
+            mesh, A, B, E, Gmat, Gf, mu_, mu_f, beta0_, beta_f0_, regs, 1e-10
         )
-        jax.block_until_ready(out[3])
-        return out
 
-    run()  # compile
+    jax.block_until_ready(run_jit(mu, beta0, beta_f0)[3])  # compile
     t0 = time.perf_counter()
     for _ in range(reps):
-        run()
+        out = run_jit(mu, beta0, beta_f0)
+    jax.block_until_ready(out[3])
     dt = (time.perf_counter() - t0) / reps * 1e3
     return dt
 
