@@ -183,6 +183,48 @@ def main():
     )
     nominal = sqp_batched(x0s)
     Xs, Us = nominal.X, nominal.U
+    # soft-slack fallback for lanes whose hard cold-start SQP failed (the
+    # host driver's solve_nominal_trajectory semantics): at N=15 no lane
+    # triggers it (identical numbers); at N=30+ it prevents wrong-basin
+    # nominals from poisoning lanes (success 0.875 -> 0.978 measured).
+    # Untimed (cold start); RNM_BENCH_SOFT_FALLBACK=0 disables.
+    if jax_env_int("RNM_BENCH_SOFT_FALLBACK", 1) and not bool(
+        jnp.all(nominal.success)
+    ):
+        from robust_nonlinear_mpc_tpu.solvers.soft_nlp import soft_nlp_solve
+
+        # 128-lane chunks: the vmapped soft solve kernel-faults on this TPU
+        # backend at ~512 lanes (axon large-batch fault surface, like the
+        # converged-mode >= 96-lane limit); the cold start is untimed, so
+        # chunking costs nothing
+        soft_j = jax.jit(jax.vmap(
+            lambda x: soft_nlp_solve(
+                m, N, solver.Q, solver.R, solver.Qf, x,
+                rho_soft=1e6, rho_soft_l1=1e6,
+            )
+        ))
+        hard_j = jax.jit(jax.vmap(
+            lambda x, Xi, Ui: sqp_solve(
+                m, N, solver.Q, solver.R, solver.Qf, x,
+                X_init=Xi, U_init=Ui, opts=solver.opts.sqp,
+            )
+        ))
+        # chunk size scales down with N — the backend's fault envelope is
+        # roughly a lanes x horizon product (measured: 128 lanes ok at
+        # N<=30, 34 faults at N=60, 16 ok at N=60)
+        fb_chunk = jax_env_int("RNM_BENCH_FB_CHUNK", max(16, min(128, 960 // N)))
+        Xs_l, Us_l = [], []
+        for c0 in range(0, B, fb_chunk):
+            sl = slice(c0, min(c0 + fb_chunk, B))
+            soft_b = soft_j(x0s[sl])
+            hard_b = hard_j(x0s[sl], soft_b.X, soft_b.U)
+            fb_X = jnp.where(hard_b.success[:, None, None], hard_b.X, soft_b.X)
+            fb_U = jnp.where(hard_b.success[:, None, None], hard_b.U, soft_b.U)
+            use_fb = ((~nominal.success[sl]) & soft_b.success)[:, None, None]
+            Xs_l.append(jnp.where(use_fb, fb_X, Xs[sl]))
+            Us_l.append(jnp.where(use_fb, fb_U, Us[sl]))
+        Xs = jnp.concatenate(Xs_l, axis=0)
+        Us = jnp.concatenate(Us_l, axis=0)
     persist = FastSLSPersist.init(
         N, m.nx, m.nu, m.ni, m.ni_f, m.nw, dtype, store_phi=not streaming
     )

@@ -152,6 +152,11 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         recycle_eta=recycle, streaming_response=streaming,
         recycle_warm_qp=recycle and warm_qp,
     )
+    # NOTE on nominal_soft_fallback: measured essential at N=30 (wrong-basin
+    # cold starts, BASELINE.md) but the MC systems here run N=15 where no
+    # lane triggers it (success 0.99+ without), and the vmapped soft solve
+    # kernel-faults on this TPU backend above ~64-512 lanes — so the MC
+    # keeps it off; bench.py applies it in 128-lane chunks.
 
     mesh = scenario_mesh()
     n_dev = mesh.devices.size

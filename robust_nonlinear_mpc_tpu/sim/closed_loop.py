@@ -280,6 +280,31 @@ def build_batched_closed_loop(solver: SCPSLSSolver, sim_steps: int, noise_scale=
         nominal = sqp_solve(
             m, N, solver.Q, solver.R, solver.Qf, x0, opts=solver.opts.sqp
         )
+        if getattr(solver.opts, "nominal_soft_fallback", False):
+            # host-driver parity (SCPSLSSolver.solve_nominal_trajectory): a
+            # cold hard-SQP can fail or converge to a wrong basin on
+            # aggressive x0 (measured N=30: one lane's "nominal" ignored its
+            # own initial state and the closed loop diverged); fall back to
+            # the always-feasible soft-slack SQP + hard polish. Under vmap
+            # both branches are computed for every lane — cold-start-only
+            # cost, so off by default and enabled by the MC/bench configs.
+            from robust_nonlinear_mpc_tpu.solvers.soft_nlp import soft_nlp_solve
+
+            soft = soft_nlp_solve(
+                m, N, solver.Q, solver.R, solver.Qf, x0,
+                rho_soft=1e6, rho_soft_l1=1e6,
+            )
+            hard = sqp_solve(
+                m, N, solver.Q, solver.R, solver.Qf, x0,
+                X_init=soft.X, U_init=soft.U, opts=solver.opts.sqp,
+            )
+            Xfb = jnp.where(hard.success, hard.X, soft.X)
+            Ufb = jnp.where(hard.success, hard.U, soft.U)
+            use_fb = (~nominal.success) & soft.success
+            nominal = nominal._replace(
+                X=jnp.where(use_fb, Xfb, nominal.X),
+                U=jnp.where(use_fb, Ufb, nominal.U),
+            )
         persist0 = FastSLSPersist.init(
             N, m.nx, m.nu, m.ni, m.ni_f, m.nw, solver.dtype,
             # streaming mode never fills Phi — drop the buffers entirely

@@ -79,6 +79,11 @@ class SCPSLSOptions(NamedTuple):
     # FastSLSOptions.adaptive_ipm_budget
     adaptive_ipm_budget: tuple | None = None
     sqp: SQPOptions = SQPOptions()
+    # batched-rollout cold start: fall back to the soft-slack SQP (+ hard
+    # polish) when the hard SQP fails — host-driver parity
+    # (solve_nominal_trajectory); under vmap all lanes pay the extra
+    # cold-start compute, so opt-in (MC validation enables it)
+    nominal_soft_fallback: bool = False
     refine_on_convergence: bool = False
     verbose: bool = False
     # inner fast-SLS iteration table (the reference's post-construction

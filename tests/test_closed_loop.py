@@ -164,3 +164,27 @@ def test_failure_path_host_returns_last_accepted_iterate():
     )
     # failed-step backoffs are NaN sentinels, not fake zero tubes
     assert np.isnan(np.asarray(log.backoff_x)[0]).all()
+
+
+def test_nominal_soft_fallback_noop_on_success():
+    """nominal_soft_fallback must not change trajectories when the hard
+    SQP succeeds (use_fb never triggers); the fallback's value case
+    (wrong-basin/failed cold start at N=30 rocket) is measured in
+    BASELINE.md — here we pin the no-op contract on a benign problem."""
+    steps = 3
+    m, solver_a = _pendulum_solver(rti=1, inner=1, N=8)
+    x0 = np.array([0.5, 0.5, 0.0, 0.0])
+    base = jax.jit(build_batched_closed_loop(solver_a, steps))(
+        jnp.asarray(x0), jnp.zeros((steps, m.nw))
+    )
+
+    m2, solver_b = _pendulum_solver(rti=1, inner=1, N=8)
+    solver_b.opts = solver_b.opts._replace(nominal_soft_fallback=True)
+    fb = jax.jit(build_batched_closed_loop(solver_b, steps))(
+        jnp.asarray(x0), jnp.zeros((steps, m2.nw))
+    )
+    assert bool(np.asarray(fb.success).all())
+    np.testing.assert_allclose(
+        np.asarray(fb.input_trajectory), np.asarray(base.input_trajectory),
+        atol=0,
+    )
