@@ -166,6 +166,12 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
     # aggregates; scenarios are independent, so this is exact
     chunks = max(1, int(chunks))
     B = (scenarios // (n_dev * chunks)) * n_dev * chunks
+    if B == 0:
+        raise ValueError(
+            f"scenarios={scenarios} < devices*chunks={n_dev * chunks}: "
+            f"the per-chunk shard would be empty. Raise --scenarios, lower "
+            f"--chunks, or (on CPU) lower --host-devices."
+        )
     Bc = B // chunks
     rng = np.random.default_rng(seed)
     x0s_h = np.asarray(
@@ -194,12 +200,19 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
     logs = jax.tree_util.tree_map(
         lambda *xs: np.concatenate(xs, axis=0), *logs_np
     )
+    n_ok_total = sum(
+        s.n_scenarios - s.n_failed_lanes for s in stats_list
+    )
     stats = stats_list[0]._replace(
         n_scenarios=sum(s.n_scenarios for s in stats_list),
         n_violations=sum(s.n_violations for s in stats_list),
         worst_margin=max(s.worst_margin for s in stats_list),
-        mean_cost=sum(s.mean_cost * s.n_scenarios for s in stats_list)
-        / sum(s.n_scenarios for s in stats_list),
+        # mean over successful lanes, weighted by each chunk's success count
+        mean_cost=sum(
+            s.mean_cost * (s.n_scenarios - s.n_failed_lanes)
+            for s in stats_list
+        ) / max(n_ok_total, 1),
+        n_failed_lanes=sum(s.n_failed_lanes for s in stats_list),
     )
 
     # ------------------------------------------------------------------
@@ -268,7 +281,8 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         "worst_constraint_margin": float(stats.worst_margin),
         "worst_violation_per_scenario_top": worst_per_scenario[top],
         "violating_scenario_ids": top.astype(np.int32),
-        "mean_cost": float(stats.mean_cost),
+        "mean_cost": float(stats.mean_cost),          # over successful lanes
+        "n_failed_lanes": int(stats.n_failed_lanes),
         # tube containment, masked by solver success (NaN-free)
         "tube_containment_rate": containment_rate,
         "tube_containment_rate_all": containment_rate_all,

@@ -24,10 +24,44 @@ from robust_nonlinear_mpc_tpu.sim.closed_loop import build_batched_closed_loop
 
 
 class MCStats(NamedTuple):
+    """Cross-device Monte-Carlo aggregate.
+
+    Solver failure and constraint violation are separate events: a failed
+    solve carries no guarantee and its trajectory may be non-finite, so the
+    cost/margin aggregates mask by per-lane success (all steps succeeded AND
+    trajectory finite) and the failed-lane count is reported alongside —
+    no NaN can reach any field of a shipped artifact.
+    """
+
     n_scenarios: jax.Array       # total scenarios across all devices
     n_violations: jax.Array      # scenarios with any constraint violation
-    worst_margin: jax.Array      # max over scenarios of max constraint value
-    mean_cost: jax.Array         # mean closed-loop quadratic cost
+    worst_margin: jax.Array      # max constraint value over SUCCESSFUL lanes
+    mean_cost: jax.Array         # mean closed-loop cost over SUCCESSFUL lanes
+    n_failed_lanes: jax.Array    # lanes with any failed step / non-finite state
+
+
+def lane_reductions(logs, G, g, Q, R):
+    """Per-lane success mask, worst constraint margin, and quadratic cost.
+
+    Pure (no collectives) so it is unit-testable against NaN-poisoned logs:
+    lane_ok requires every step's solve to succeed AND the realized
+    trajectory to be finite; non-finite margins are masked to -inf so a
+    failed lane can neither count as a violation nor poison the max.
+    """
+    finite = jnp.all(jnp.isfinite(logs.state_trajectory), axis=(1, 2)) & \
+        jnp.all(jnp.isfinite(logs.input_trajectory), axis=(1, 2))
+    lane_ok = jnp.all(logs.success, axis=1) & finite      # (B_local,)
+    z = jnp.concatenate(
+        [logs.state_trajectory[:, :-1], logs.input_trajectory], axis=-1
+    )
+    margins = jnp.einsum("ri,bti->btr", G, z) - g
+    margins = jnp.where(jnp.isfinite(margins), margins, -jnp.inf)
+    worst = jnp.max(margins, axis=(1, 2))                 # (B_local,)
+    cost = (
+        jnp.einsum("bti,ij,btj->b", logs.state_trajectory, Q, logs.state_trajectory)
+        + jnp.einsum("bti,ij,btj->b", logs.input_trajectory, R, logs.input_trajectory)
+    )
+    return lane_ok, worst, cost
 
 
 def make_sharded_mc(solver, sim_steps: int, mesh):
@@ -45,24 +79,23 @@ def make_sharded_mc(solver, sim_steps: int, mesh):
 
     def local_eval(x0s, Ws):
         logs = jax.vmap(rollout)(x0s, Ws)
-        # closed-loop constraint margins G [x; u] - g per step
-        z = jnp.concatenate(
-            [logs.state_trajectory[:, :-1], logs.input_trajectory], axis=-1
-        )
-        margins = jnp.einsum("ri,bti->btr", G, z) - g
-        worst = jnp.max(margins, axis=(1, 2))             # (B_local,)
+        lane_ok, worst, cost = lane_reductions(logs, G, g, Q, R)
         violated = (worst > 0).sum()
-        cost = jnp.sum(
-            jnp.einsum("bti,ij,btj->b", logs.state_trajectory, Q, logs.state_trajectory)
-            + jnp.einsum("bti,ij,btj->b", logs.input_trajectory, R, logs.input_trajectory)
-        )
+        n_ok = jax.lax.psum(lane_ok.sum(), SCENARIO_AXIS)
         stats = MCStats(
             n_scenarios=jax.lax.psum(x0s.shape[0], SCENARIO_AXIS),
             n_violations=jax.lax.psum(violated, SCENARIO_AXIS),
-            worst_margin=jax.lax.pmax(jnp.max(worst), SCENARIO_AXIS),
-            mean_cost=jax.lax.psum(cost, SCENARIO_AXIS),
+            worst_margin=jax.lax.pmax(
+                jnp.max(jnp.where(lane_ok, worst, -jnp.inf)), SCENARIO_AXIS
+            ),
+            mean_cost=jax.lax.psum(
+                jnp.sum(jnp.where(lane_ok, cost, 0.0)), SCENARIO_AXIS
+            ),
+            n_failed_lanes=jax.lax.psum((~lane_ok).sum(), SCENARIO_AXIS),
         )
-        stats = stats._replace(mean_cost=stats.mean_cost / stats.n_scenarios)
+        stats = stats._replace(
+            mean_cost=stats.mean_cost / jnp.maximum(n_ok, 1)
+        )
         return logs, stats
 
     sharded = shard_map(

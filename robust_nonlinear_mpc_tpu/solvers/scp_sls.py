@@ -423,6 +423,20 @@ class SCPSLSSolver:
         # accepted state the same way; run_closed_loop applies primal_u[:,0]
         # as u0, so packaging the failed iterate would fly an unvetted input
         X_out, U_out = (self._X, self._U) if failed_iterate else (res.X, res.U)
+
+        # On a failed iterate the sls quantities (duals, K, Phi, backoffs)
+        # belong to the REJECTED iterate — the reference never produces a
+        # mixed accepted-primal/rejected-tube state (current_iteration_scp
+        # retains last-accepted values for everything). We don't persist the
+        # last accepted sls tensors host-side, so mark them invalid with NaN
+        # (the same "no tube available" sentinel the batched path uses,
+        # sim/closed_loop.py) rather than ship an unvetted tube.
+        def _sls_field(x):
+            a = np.asarray(x)
+            if failed_iterate and np.issubdtype(a.dtype, np.floating):
+                return np.full_like(a, np.nan)
+            return a
+
         out = {
             "success": bool(success),
             "iterations": int(iterations),
@@ -430,19 +444,19 @@ class SCPSLSSolver:
             "primal_u": np.asarray(U_out).T,          # (nu, N)
             "primal_vec": np.asarray(pack_primal(X_out, U_out)),
             "delta_vec": np.asarray(res.delta_vec),
-            "dual_mu": np.asarray(sls.lam).T,         # (ni, N)
-            "dual_mu_f": np.asarray(sls.lam_f),
-            "dual_eta": np.asarray(sls.eta),
-            "dual_eta_f": np.asarray(sls.eta_f),
-            "K": np.asarray(sls.K),
-            "Phi_x": np.asarray(sls.Phi_x),
-            "Phi_u": np.asarray(sls.Phi_u),
-            "beta": np.asarray(sls.beta),
-            "beta_f": np.asarray(sls.beta_f),
-            "backoff": np.asarray(sls.backoff),
-            "backoff_f": np.asarray(sls.backoff_f),
-            "backoff_x": np.asarray(sls.backoff_x),   # (N+1, nx)
-            "backoff_u": np.asarray(sls.backoff_u),   # (N, nu)
+            "dual_mu": _sls_field(sls.lam).T,         # (ni, N)
+            "dual_mu_f": _sls_field(sls.lam_f),
+            "dual_eta": _sls_field(sls.eta),
+            "dual_eta_f": _sls_field(sls.eta_f),
+            "K": _sls_field(sls.K),
+            "Phi_x": _sls_field(sls.Phi_x),
+            "Phi_u": _sls_field(sls.Phi_u),
+            "beta": _sls_field(sls.beta),
+            "beta_f": _sls_field(sls.beta_f),
+            "backoff": _sls_field(sls.backoff),
+            "backoff_f": _sls_field(sls.backoff_f),
+            "backoff_x": _sls_field(sls.backoff_x),   # (N+1, nx)
+            "backoff_u": _sls_field(sls.backoff_u),   # (N, nu)
             "cost_QP": float(res.cost_QP),
             "cost": float(res.cost),
             "cost_tube": float(sls.cost_tube),

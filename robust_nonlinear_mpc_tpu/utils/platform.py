@@ -53,11 +53,22 @@ def enable_compile_cache(cache_dir: str = ".jax_cache") -> bool:
     import os
     import sys
 
-    # PYTEST_CURRENT_TEST is only set while a test runs; "pytest" in
-    # sys.modules also covers module-level calls evaluated at collection
-    # time (e.g. a tool module imported from a test file)
-    if "PYTEST_CURRENT_TEST" in os.environ or "pytest" in sys.modules:
+    # PYTEST_CURRENT_TEST is only set while a test runs; PYTEST_VERSION is
+    # set by the pytest entry point for the whole process (covers
+    # collection-time module imports). A bare "pytest" in sys.modules is NOT
+    # sufficient evidence on its own — a production process may import a
+    # library that imports pytest — so it only counts when the process was
+    # actually launched as pytest (argv[0]).
+    if (
+        "PYTEST_CURRENT_TEST" in os.environ
+        or "PYTEST_VERSION" in os.environ
+        or "PYTEST_XDIST_WORKER" in os.environ
+    ):
         return False
+    if "pytest" in sys.modules:
+        argv0 = os.path.basename(sys.argv[0] if sys.argv else "")
+        if argv0.startswith(("pytest", "py.test")):
+            return False
     try:
         import jax
 

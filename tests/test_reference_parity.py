@@ -167,6 +167,12 @@ def test_rocket_u_sequence_parity(steps):
     tail = float(du_steps[-5:].mean())
     assert tail <= 5e-3, \
         f"closed-loop deviation did not re-contract (tail {tail:.3e})"
+    # a rounding-conditioned transient peak is 1-2 isolated steps (measured
+    # 1 step above 5e-2); a SUSTAINED excursion window is a real divergence
+    # even if the tail happens to re-contract, so bound the step count too
+    n_excursion = int((du_steps > 5e-2).sum())
+    assert n_excursion <= 3, \
+        f"{n_excursion} steps above the 5e-2 envelope (sustained divergence)"
 
     # (a) matched states: same stateful warm-start protocol, same x sequence
     _, solver = _rocket_solver()
