@@ -30,7 +30,7 @@ FOLDER = "monte_carlo_validation"
 def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
              recycle=False, streaming=False, warm_qp=False, qp_iters=15,
              kkt="riccati", converged=False, adaptive=False, host_devices=8,
-             scp_eps=None, max_iter_scp=None, chunks=1):
+             scp_eps=None, max_iter_scp=None, chunks=1, scp_per_dispatch=2):
     if device == "cpu":
         # host_devices: XLA:CPU collectives run one thread per virtual
         # device and its rendezvous aborts after 40 s if the threads are
@@ -180,11 +180,47 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
     # per-step disturbances w ~ U[-1, 1]^nw (the model applies E w)
     Ws_h = 2 * rng.random((B, steps, m.nw)) - 1
 
-    from robust_nonlinear_mpc_tpu.parallel.mc import make_sharded_mc
+    from robust_nonlinear_mpc_tpu.parallel.mc import MCStats, lane_reductions, make_sharded_mc
     from jax.sharding import NamedSharding, PartitionSpec as P
     from robust_nonlinear_mpc_tpu.parallel.mesh import SCENARIO_AXIS
 
-    fn = make_sharded_mc(solver, steps, mesh)
+    if converged and scp_per_dispatch > 0:
+        # bounded-dispatch until-convergence (VERDICT r3 item 1): the
+        # single-dispatch while_loop bills one device program for the worst
+        # lane's full scp x sls budget, which exceeds the device dispatch
+        # envelope at >= 96 rocket lanes; the chunked driver advances lanes
+        # <= scp_per_dispatch SCP iterations per dispatch with carried
+        # state — identical per-lane iteration sequences, bounded dispatches
+        from robust_nonlinear_mpc_tpu.sim.closed_loop import (
+            build_chunked_converged_loop,
+        )
+
+        fn_run = build_chunked_converged_loop(
+            solver, steps, scp_per_dispatch=scp_per_dispatch, mesh=mesh
+        )
+
+        def fn(x0j, Wj):
+            logs = fn_run(x0j, Wj)
+            lane_ok, worst, cost = lane_reductions(
+                logs,
+                jnp.asarray(m.G, solver.dtype), jnp.asarray(m.g, solver.dtype),
+                jnp.asarray(solver.Q, solver.dtype),
+                jnp.asarray(solver.R, solver.dtype),
+            )
+            lane_ok = np.asarray(lane_ok)
+            worst = np.asarray(worst)
+            cost = np.asarray(cost)
+            n_ok = int(lane_ok.sum())
+            stats = MCStats(
+                n_scenarios=x0j.shape[0],
+                n_violations=int((worst > 0).sum()),
+                worst_margin=float(worst[lane_ok].max()) if n_ok else float("-inf"),
+                mean_cost=float(cost[lane_ok].mean()) if n_ok else float("nan"),
+                n_failed_lanes=int((~lane_ok).sum()),
+            )
+            return logs, stats
+    else:
+        fn = make_sharded_mc(solver, steps, mesh)
     sh = NamedSharding(mesh, P(SCENARIO_AXIS))
     logs_np, stats_list = [], []
     for c in range(chunks):
@@ -340,6 +376,12 @@ if __name__ == "__main__":
                         "jitted invocations (one compiled program) and "
                         "aggregate -- for batches above the single-program "
                         "HBM ceiling (v5e: 8192 rocket lanes)")
+    p.add_argument("--scp-per-dispatch", type=int, default=2,
+                   dest="scp_per_dispatch",
+                   help="converged mode: max SCP iterations per device "
+                        "dispatch (bounded-dispatch driver; 0 = legacy "
+                        "single-dispatch whole-loop program, which exceeds "
+                        "the device envelope at >= 96 rocket lanes)")
     p.add_argument("--max-iter-scp", type=int, default=None,
                    dest="max_iter_scp",
                    help="override the converged-mode SCP iteration budget "
@@ -361,4 +403,4 @@ if __name__ == "__main__":
                  warm_qp=args.warm_qp, qp_iters=args.qp_iters, kkt=args.kkt, converged=args.converged,
                  adaptive=args.adaptive, host_devices=args.host_devices,
                  scp_eps=args.scp_eps, max_iter_scp=args.max_iter_scp,
-                 chunks=args.chunks)
+                 chunks=args.chunks, scp_per_dispatch=args.scp_per_dispatch)
