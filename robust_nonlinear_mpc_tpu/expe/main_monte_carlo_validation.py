@@ -329,6 +329,20 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         "success_rate": float(succ.mean()),
         "n_failed_steps": int((~succ).sum()),
         "n_failed_scenarios": int((~succ).any(axis=1).sum()),
+        # failure taxonomy (VERDICT r3 item 2): a failed step either had an
+        # INNER solve fail (fast-SLS infeasible-forward / non-finite QP,
+        # scp_failed=True) or exhausted the SCP budget unconverged
+        "n_failed_inner": int(
+            ((~succ) & np.asarray(logs.scp_failed)).sum()
+        ) if logs.scp_failed is not None else -1,
+        "n_failed_unconverged": int(
+            ((~succ) & ~np.asarray(logs.scp_failed)).sum()
+        ) if logs.scp_failed is not None else -1,
+        "scp_iters": np.asarray(logs.scp_iters)
+        if logs.scp_iters is not None else np.zeros(0),
+        "scp_failed_mask": np.asarray(logs.scp_failed)
+        if logs.scp_failed is not None else np.zeros(0),
+        "success_mask": succ,
         "state_trajectories": xs[: min(B, 64)],  # sample for plotting
     }
     print(
@@ -339,7 +353,9 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         f"(cold {results['tube_containment_cold']:.4f} / steady {results['tube_containment_steady']:.4f}; "
         f"worst margin {worst_tube_margin:.4g}), "
         f"success={results['success_rate']:.4f} "
-        f"({results['n_failed_steps']} failed steps in {results['n_failed_scenarios']} scenarios)"
+        f"({results['n_failed_steps']} failed steps in {results['n_failed_scenarios']} scenarios; "
+        f"{results['n_failed_inner']} inner-solve failures / "
+        f"{results['n_failed_unconverged']} budget-exhausted unconverged)"
     )
     tag = (
         f"mc_validation_{system}"

@@ -41,6 +41,12 @@ class ClosedLoopLog(NamedTuple):
     backoff_u: jax.Array              # (T, N, nu)
     success: jax.Array                # (T,)
     qp_iters: jax.Array               # (T,)
+    # failure taxonomy (VERDICT r3 item 2): SCP iterations spent this step,
+    # and whether a failed step failed because an INNER solve failed
+    # (infeasible-forward/QP failure) vs exhausted the SCP budget
+    # unconverged (success=False & ~scp_failed)
+    scp_iters: jax.Array = None       # (T,)
+    scp_failed: jax.Array = None      # (T,) inner-solve failure flag
 
 
 def run_closed_loop(
@@ -180,6 +186,8 @@ def make_mpc_step(solver: SCPSLSSolver):
                 qp_total = qp_total + res.sls.qp_iters
             bx, bu = res.sls.backoff_x, res.sls.backoff_u
             success, qp_iters = res.success, qp_total
+            scp_it = jnp.full((), max(rti, 1), jnp.int32)
+            scp_failed = ~res.success
         else:
             # until-convergence SCP (the reference default, rti = -1): iterate
             # {linearize, fast-SLS} until the primal update satisfies
@@ -226,7 +234,7 @@ def make_mpc_step(solver: SCPSLSSolver):
                    jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                    jnp.array(False), jnp.array(False))
             st = jax.lax.while_loop(cond, scp_once, st0)
-            (X, U, persist, bx, bu, qp_iters, _, done, _) = st
+            (X, U, persist, bx, bu, qp_iters, scp_it, done, scp_failed) = st
             # step success = SCP reached the delta criterion (host solve
             # returns True exactly then)
             success = done
@@ -258,6 +266,8 @@ def make_mpc_step(solver: SCPSLSSolver):
             bu,
             success,
             qp_iters,
+            scp_it,
+            scp_failed,
         )
         return (Xs, Us, persist_next, x_next), out
 
@@ -407,7 +417,8 @@ def build_chunked_converged_loop(
 
         X, U, persist, x = init_j(x0s)
         logs = {k: [] for k in
-                ("x", "u0", "X", "U", "bx", "bu", "success", "qp_iters")}
+                ("x", "u0", "X", "U", "bx", "bu", "success", "qp_iters",
+                 "scp_iters", "scp_failed")}
         nan_bx = jnp.full((B, N + 1, m.nx), jnp.nan, solver.dtype)
         nan_bu = jnp.full((B, N, m.nu), jnp.nan, solver.dtype)
         max_dispatches = -(-max_scp // kpd)
@@ -432,6 +443,8 @@ def build_chunked_converged_loop(
             logs["bu"].append(bu)
             logs["success"].append(done)
             logs["qp_iters"].append(qpi)
+            logs["scp_iters"].append(it)
+            logs["scp_failed"].append(failed)
             X, U, persist, x = adv_j(X, U, persist, x, Ws[:, t])
 
         stk = {k: jnp.stack(v, axis=1) for k, v in logs.items()}
@@ -444,6 +457,8 @@ def build_chunked_converged_loop(
             backoff_u=stk["bu"],
             success=stk["success"],
             qp_iters=stk["qp_iters"],
+            scp_iters=stk["scp_iters"],
+            scp_failed=stk["scp_failed"],
         )
 
     return run
@@ -497,7 +512,7 @@ def build_batched_closed_loop(solver: SCPSLSSolver, sim_steps: int, noise_scale=
         )
         carry0 = (nominal.X, nominal.U, persist0, x0)
         _, outs = jax.lax.scan(mpc_step, carry0, W[:sim_steps])
-        (xs, u0s, Xs, Us, bx, bu, succ, qpi) = outs
+        (xs, u0s, Xs, Us, bx, bu, succ, qpi, scpi, scpf) = outs
         return ClosedLoopLog(
             state_trajectory=xs,
             input_trajectory=u0s[: sim_steps - 1],
@@ -507,6 +522,8 @@ def build_batched_closed_loop(solver: SCPSLSSolver, sim_steps: int, noise_scale=
             backoff_u=bu,
             success=succ,
             qp_iters=qpi,
+            scp_iters=scpi,
+            scp_failed=scpf,
         )
 
     return rollout
