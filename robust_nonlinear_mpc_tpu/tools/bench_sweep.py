@@ -123,12 +123,12 @@ def bench_system(system: str, B: int, n_rep: int, recycle: bool, streaming: bool
     )
     carry = (Xs, Us, persists, x0s)
     for i in range(max(1, n_warm)):
-        carry, (_, _, _, _, _, _, ok, _) = step(carry, w_seq[i])
+        carry, (_, _, _, _, _, _, ok, *_rest) = step(carry, w_seq[i])
     jax.block_until_ready(carry[0])
 
     t0 = time.perf_counter()
     for i in range(n_rep):
-        carry, (_, _, _, _, _, _, ok, _) = step(carry, w_seq[max(1, n_warm) + i])
+        carry, (_, _, _, _, _, _, ok, *_rest) = step(carry, w_seq[max(1, n_warm) + i])
     jax.block_until_ready(carry[0])
     dt_s = time.perf_counter() - t0
 
