@@ -1,0 +1,131 @@
+"""Multi-process scaling stand-in measurement (VERDICT r3 item 5).
+
+The BASELINE.json north star is ">= 80% scaling to 2 hosts". No multi-host
+TPU hardware exists in this environment, so this measures the closest
+structural stand-in: `parallel.distributed.multihost_throughput` (the real
+jax.distributed + Gloo + global-mesh path the pod deployment would use) at
+a real workload (rocket N=15, B scenarios/process) for 1 process vs 2
+processes on the CPU backend, each process pinned to ONE core (taskset) so
+the 1-process baseline cannot silently use both cores.
+
+Honest caveat, recorded in the output: this box has 2 physical cores, so
+the row bounds the DISTRIBUTION OVERHEAD STRUCTURE (init, global mesh,
+cross-process psum of the validation statistics — the only communication;
+solves never communicate), not real multi-chip speedup. A ratio near 1.0
+means the distributed machinery adds no per-process cost — which is the
+claim "bandwidth-trivial, embarrassingly parallel" needs measured.
+
+Usage:
+  python -m robust_nonlinear_mpc_tpu.tools.multihost_scaling --run \
+      [--scenarios-per-process 256] [--steps 3] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    B_per = int(sys.argv[4]); steps = int(sys.argv[5]); reps = int(sys.argv[6])
+
+    from robust_nonlinear_mpc_tpu.parallel.distributed import (
+        init_distributed, multihost_throughput,
+    )
+    if nproc > 1:
+        n = init_distributed(f"localhost:{port}", nproc, pid)
+        assert n == nproc, n
+
+    from robust_nonlinear_mpc_tpu.expe.main_rocket_robust_closed_loop import (
+        make_rocket_problem,
+    )
+    m, solver = make_rocket_problem(15)
+    solver.opts = solver.opts._replace(verbose=False)
+
+    thr = multihost_throughput(
+        solver, steps, scenarios_per_device=B_per, reps=reps,
+    )
+    print("THR " + json.dumps(thr), flush=True)
+    """
+)
+
+
+def run_config(nproc, b_per, steps, reps, port):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    for i in range(nproc):
+        cmd = ["taskset", "-c", str(i % 2), sys.executable, "-c", _WORKER,
+               str(i), str(nproc), port, str(b_per), str(steps), str(reps)]
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd="/root/repo", env=env,
+        ))
+    outs = [p.communicate(timeout=3600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker {i} failed:\n{out[-3000:]}")
+    rows = []
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("THR "):
+                rows.append(json.loads(line[4:]))
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", action="store_true")
+    p.add_argument("--scenarios-per-process", type=int, default=256,
+                   dest="b_per")
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--out", default="artifacts/multihost_scaling.json")
+    args = p.parse_args()
+    if not args.run:
+        p.print_help()
+        return
+
+    one = run_config(1, args.b_per, args.steps, args.reps, "12741")[0]
+    two = run_config(2, args.b_per, args.steps, args.reps, "12743")[0]
+    # multihost_throughput reports the GLOBAL rate (B_total * steps / wall),
+    # identical on every process (same global program). Scaling efficiency =
+    # 2-process aggregate / (2 x 1-process aggregate).
+    eff = two["mpc_steps_per_s"] / (2.0 * one["mpc_steps_per_s"])
+    result = {
+        "workload": f"rocket N=15, {args.b_per} scenarios/process x "
+                    f"{args.steps} steps, CPU f64, one pinned core/process",
+        "single_process_solves_per_s": round(one["mpc_steps_per_s"], 1),
+        "two_process_aggregate_solves_per_s": round(two["mpc_steps_per_s"], 1),
+        "scaling_efficiency": round(eff, 4),
+        "north_star": ">= 0.80 (BASELINE.json 2-host target)",
+        "caveat": (
+            "2 physical cores, 1 virtual device/process via Gloo: bounds "
+            "the distributed-machinery overhead (the only cross-process "
+            "traffic is the O(1) psum of validation statistics), not "
+            "multi-chip speedup"
+        ),
+        "single": one,
+        "two": two,
+    }
+    print(json.dumps(result, indent=2))
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()
