@@ -30,7 +30,8 @@ FOLDER = "monte_carlo_validation"
 def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
              recycle=False, streaming=False, warm_qp=False, qp_iters=15,
              kkt="riccati", converged=False, adaptive=False, host_devices=8,
-             scp_eps=None, max_iter_scp=None, chunks=1, scp_per_dispatch=2):
+             scp_eps=None, max_iter_scp=None, chunks=1, scp_per_dispatch=2,
+             soft_fallback=False):
     if device == "cpu":
         # host_devices: XLA:CPU collectives run one thread per virtual
         # device and its rendezvous aborts after 40 s if the threads are
@@ -152,11 +153,17 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         recycle_eta=recycle, streaming_response=streaming,
         recycle_warm_qp=recycle and warm_qp,
     )
-    # NOTE on nominal_soft_fallback: measured essential at N=30 (wrong-basin
-    # cold starts, BASELINE.md) but the MC systems here run N=15 where no
-    # lane triggers it (success 0.99+ without), and the vmapped soft solve
-    # kernel-faults on this TPU backend above ~64-512 lanes — so the MC
-    # keeps it off; bench.py applies it in 128-lane chunks.
+    # nominal_soft_fallback: measured essential at N=30 (wrong-basin cold
+    # starts, BASELINE.md). In RTI mode the MC keeps it off by default (N=15
+    # lanes recover within 1-2 steps; the vmapped soft solve kernel-faults
+    # on this TPU backend above ~64-512 lanes). In CONVERGED mode it is the
+    # measured fix for permanently-stuck wrong-basin lanes (converged_probe:
+    # 15/128 lanes fail from t=0 with first-delta 10-25 and never recover —
+    # a failed converged step freezes the plan), and the chunked driver
+    # applies it HOST-CHUNKED outside the vmap (closed_loop.py
+    # _apply_soft_fallback), clear of the kernel-fault envelope.
+    if soft_fallback:
+        solver.opts = solver.opts._replace(nominal_soft_fallback=True)
 
     mesh = scenario_mesh()
     n_dev = mesh.devices.size
@@ -405,6 +412,11 @@ if __name__ == "__main__":
     p.add_argument("--scp-eps", type=float, default=None, dest="scp_eps",
                    help="override the converged-mode SCP delta criterion "
                         "(default: 1e-3 f32 / 1e-8 f64)")
+    p.add_argument("--soft-fallback", action="store_true", dest="soft_fallback",
+                   help="soft-slack cold-start fallback for failed hard-SQP "
+                        "nominals (host-chunked in converged mode — the "
+                        "measured fix for permanently-stuck wrong-basin "
+                        "lanes; see closed_loop._apply_soft_fallback)")
     p.add_argument("--host-devices", type=int, default=8, dest="host_devices",
                    help="virtual CPU device count (--device cpu). Use 1 for "
                         "converged-mode runs: XLA:CPU collectives abort with "
@@ -419,4 +431,5 @@ if __name__ == "__main__":
                  warm_qp=args.warm_qp, qp_iters=args.qp_iters, kkt=args.kkt, converged=args.converged,
                  adaptive=args.adaptive, host_devices=args.host_devices,
                  scp_eps=args.scp_eps, max_iter_scp=args.max_iter_scp,
-                 chunks=args.chunks, scp_per_dispatch=args.scp_per_dispatch)
+                 chunks=args.chunks, scp_per_dispatch=args.scp_per_dispatch,
+                 soft_fallback=args.soft_fallback)

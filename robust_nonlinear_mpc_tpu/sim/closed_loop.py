@@ -319,29 +319,52 @@ def build_chunked_converged_loop(
         nominal = sqp_solve(
             m, N, solver.Q, solver.R, solver.Qf, x0, opts=solver.opts.sqp
         )
-        if getattr(solver.opts, "nominal_soft_fallback", False):
-            from robust_nonlinear_mpc_tpu.solvers.soft_nlp import soft_nlp_solve
-
-            soft = soft_nlp_solve(
-                m, N, solver.Q, solver.R, solver.Qf, x0,
-                rho_soft=1e6, rho_soft_l1=1e6,
-            )
-            hard = sqp_solve(
-                m, N, solver.Q, solver.R, solver.Qf, x0,
-                X_init=soft.X, U_init=soft.U, opts=solver.opts.sqp,
-            )
-            Xfb = jnp.where(hard.success, hard.X, soft.X)
-            Ufb = jnp.where(hard.success, hard.U, soft.U)
-            use_fb = (~nominal.success) & soft.success
-            nominal = nominal._replace(
-                X=jnp.where(use_fb, Xfb, nominal.X),
-                U=jnp.where(use_fb, Ufb, nominal.U),
-            )
         persist0 = FastSLSPersist.init(
             N, m.nx, m.nu, m.ni, m.ni_f, m.nw, solver.dtype,
             store_phi=store_phi,
         )
-        return nominal.X, nominal.U, persist0, x0
+        return nominal.X, nominal.U, persist0, x0, nominal.success
+
+    def _apply_soft_fallback(x0s, Xs, Us, hard_ok):
+        """Host-chunked soft-slack cold-start fallback (bench.py semantics).
+
+        This driver is already a host loop, so the fallback runs OUTSIDE the
+        main vmap in bounded-lane chunks — the vmapped soft solve
+        kernel-faults on this TPU backend above a lanes x horizon envelope
+        (measured: ~512 lanes at N=15, 34 lanes at N=60; bench.py:196-215),
+        which is why the in-vmap variant (build_batched_closed_loop) is
+        capped by its callers instead. Converged-mode measurement: the
+        128x10 converged MC has 15 lanes whose t=0 SCP fails from a
+        wrong-basin hard-SQP nominal (converged_probe: first delta 10-25,
+        then permanent inner failure); the fallback re-seeds exactly those.
+        """
+        from robust_nonlinear_mpc_tpu.solvers.soft_nlp import soft_nlp_solve
+
+        soft_j = jax.jit(jax.vmap(
+            lambda x: soft_nlp_solve(
+                m, N, solver.Q, solver.R, solver.Qf, x,
+                rho_soft=1e6, rho_soft_l1=1e6,
+            )
+        ))
+        hard_j = jax.jit(jax.vmap(
+            lambda x, Xi, Ui: sqp_solve(
+                m, N, solver.Q, solver.R, solver.Qf, x,
+                X_init=Xi, U_init=Ui, opts=solver.opts.sqp,
+            )
+        ))
+        B = x0s.shape[0]
+        fb_chunk = max(16, min(128, 960 // N))
+        Xs_l, Us_l = [], []
+        for c0 in range(0, B, fb_chunk):
+            sl = slice(c0, min(c0 + fb_chunk, B))
+            soft_b = soft_j(x0s[sl])
+            hard_b = hard_j(x0s[sl], soft_b.X, soft_b.U)
+            fb_X = jnp.where(hard_b.success[:, None, None], hard_b.X, soft_b.X)
+            fb_U = jnp.where(hard_b.success[:, None, None], hard_b.U, soft_b.U)
+            use_fb = ((~hard_ok[sl]) & soft_b.success)[:, None, None]
+            Xs_l.append(jnp.where(use_fb, fb_X, Xs[sl]))
+            Us_l.append(jnp.where(use_fb, fb_U, Us[sl]))
+        return jnp.concatenate(Xs_l, axis=0), jnp.concatenate(Us_l, axis=0)
 
     def scp_chunk(X, U, persist, x, bx, bu, qpi, it, done, failed):
         """Advance one lane's step-t SCP state by <= kpd iterations.
@@ -415,7 +438,9 @@ def build_chunked_converged_loop(
             x0s = jax.device_put(x0s, sh)
             Ws = jax.device_put(Ws, sh)
 
-        X, U, persist, x = init_j(x0s)
+        X, U, persist, x, init_ok = init_j(x0s)
+        if getattr(solver.opts, "nominal_soft_fallback", False):
+            X, U = _apply_soft_fallback(x0s, X, U, init_ok)
         logs = {k: [] for k in
                 ("x", "u0", "X", "U", "bx", "bu", "success", "qp_iters",
                  "scp_iters", "scp_failed")}

@@ -56,6 +56,10 @@ _WORKER = textwrap.dedent(
     thr = multihost_throughput(
         solver, steps, scenarios_per_device=B_per, reps=reps,
     )
+    # file first: survives a dead parent pipe (a killed driver orphans the
+    # workers and their stdout writes would SIGPIPE right at the result)
+    with open(f"artifacts/.thr_{nproc}proc_p{pid}.json", "w") as f:
+        json.dump(thr, f)
     print("THR " + json.dumps(thr), flush=True)
     """
 )
@@ -82,6 +86,14 @@ def run_config(nproc, b_per, steps, reps, port):
         for line in out.splitlines():
             if line.startswith("THR "):
                 rows.append(json.loads(line[4:]))
+    if not rows:
+        # pipe lost — fall back to the per-worker result files
+        for i in range(nproc):
+            path = f"artifacts/.thr_{nproc}proc_p{i}.json"
+            if os.path.exists(path):
+                with open(path) as f:
+                    rows.append(json.load(f))
+                break
     return rows
 
 
@@ -98,7 +110,11 @@ def main():
         p.print_help()
         return
 
+    print("[multihost] 1-process phase (compile is one-core-pinned; "
+          "expect ~10 min)...", flush=True)
     one = run_config(1, args.b_per, args.steps, args.reps, "12741")[0]
+    print(f"[multihost] 1-process: {one['mpc_steps_per_s']:.1f} steps/s; "
+          "2-process phase...", flush=True)
     two = run_config(2, args.b_per, args.steps, args.reps, "12743")[0]
     # multihost_throughput reports the GLOBAL rate (B_total * steps / wall),
     # identical on every process (same global program). Scaling efficiency =

@@ -236,3 +236,44 @@ def test_chunked_converged_matches_single_dispatch():
         np.testing.assert_allclose(
             np.asarray(log.backoff_x), np.asarray(ref.backoff_x), atol=1e-10
         )
+
+
+def test_chunked_converged_soft_fallback_noop_on_success():
+    """The chunked converged driver's HOST-CHUNKED soft fallback
+    (closed_loop._apply_soft_fallback — applied outside the vmap, clear of
+    the TPU kernel-fault envelope) must be a no-op when every lane's hard
+    cold-start SQP succeeds; its value case (wrong-basin converged-mode
+    lanes, converged_probe) is measured in BASELINE.md."""
+    from robust_nonlinear_mpc_tpu.sim.closed_loop import (
+        build_chunked_converged_loop,
+    )
+
+    steps, B = 2, 3
+    m, solver = _pendulum_solver(rti=-1, inner=0, N=8)
+    solver.opts = solver.opts._replace(
+        epsilon_convergence=1e-7, max_iter_scp=12, verbose=False
+    )
+    rng = np.random.default_rng(3)
+    x0s = jnp.asarray(
+        np.array([0.5, 0.5, 0.0, 0.0])[None] + 0.1 * rng.standard_normal((B, 4))
+    )
+    Ws = jnp.asarray(2 * rng.random((B, steps, m.nw)) - 1)
+
+    base = build_chunked_converged_loop(solver, steps)(x0s, Ws)
+
+    m2, solver_fb = _pendulum_solver(rti=-1, inner=0, N=8)
+    solver_fb.opts = solver_fb.opts._replace(
+        epsilon_convergence=1e-7, max_iter_scp=12, verbose=False,
+        nominal_soft_fallback=True,
+    )
+    fb = build_chunked_converged_loop(solver_fb, steps)(x0s, Ws)
+
+    assert bool(np.asarray(fb.success).all())
+    np.testing.assert_allclose(
+        np.asarray(fb.input_trajectory), np.asarray(base.input_trajectory),
+        atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb.state_trajectory), np.asarray(base.state_trajectory),
+        atol=0,
+    )
