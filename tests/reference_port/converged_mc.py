@@ -92,7 +92,19 @@ def run_lane(x0, W, steps, eps, max_scp, sls_max, verbose=True):
         if t > 0:
             solver.reset_warm_start()
         t0 = time.perf_counter()
-        sol = solver.solve(x)
+        try:
+            sol = solver.solve(x)
+        except (ValueError, FloatingPointError, np.linalg.LinAlgError) as e:
+            # the oracle's dense-IPM stack has no feasibility restoration:
+            # on wrong-basin/diverged states the nominal NLP can go NaN and
+            # scipy raises. Record it as a failure mode (the reference's
+            # IPOPT would report restoration failure here) and abort the
+            # lane — there is no input to apply.
+            rec["mode"][t] = "numerical_blowup"
+            rec["x"][t] = x
+            print(f"    step {t}: numerical blowup in oracle solve "
+                  f"({type(e).__name__}); lane aborted", flush=True)
+            break
         rec["t_solve_s"][t] = time.perf_counter() - t0
         succ = bool(sol.get("success", False))
         rec["success"][t] = succ
@@ -173,8 +185,13 @@ def main():
     for li, lane in enumerate(lanes):
         print(f"  lane {lane} (framework success "
               f"{fw_succ[lane].sum()}/{args.steps}):", flush=True)
-        rec = run_lane(x0s[lane], Ws[lane], args.steps, args.eps,
-                       args.max_iter_scp, args.sls_max_iter)
+        try:
+            rec = run_lane(x0s[lane], Ws[lane], args.steps, args.eps,
+                           args.max_iter_scp, args.sls_max_iter)
+        except Exception as e:  # a lane must never kill the sweep
+            print(f"  lane {lane}: ABORTED ({type(e).__name__}: {e})",
+                  flush=True)
+            continue
         for k, v in rec.items():
             out[f"lane{lane}_{k}"] = np.asarray(v) if k != "mode" else \
                 np.asarray(v, dtype=object)
