@@ -52,6 +52,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from robust_nonlinear_mpc_tpu.ops.pallas_sls import _spd_inv_slabs
 
+# Debug-only escape hatch for A/B-ing the per-stage P symmetrization cost
+# (RNM_PALLAS_QP_SYM=0 skips it). NEVER disable in production: without
+# sym() the kernel is measurably wrong at long horizons (rocket N=60 QPs:
+# exit KKT 6.5e-2 vs 3.4e-4, 1/8 converging — tools/pallas_n60_qp_probe.py)
+# because every contraction downstream exploits P = P'.
+import os as _os
+
+_SYM = _os.environ.get("RNM_PALLAS_QP_SYM", "1") != "0"
+
 
 def _tri(nu):
     return [(u, v) for u in range(nu) for v in range(u, nu)]
@@ -236,14 +245,35 @@ def _factor_predictor_kernel(
         )
         kff_ref[k] = jnp.concatenate(kff_rows, axis=0)
 
-        # P <- Fxx + Fxu K  (symmetric up to roundoff; see pallas_sls on
-        # why no explicit sym());  p <- rbx_k + A' w + Fxu kff
+        # P <- sym(Fxx + Fxu K);  p <- rbx_k + A' w + Fxu kff
         P_new = Fxx
         p_new = rbx_ref[k] + _mv_t(At_ref[k], w)
         for u in range(nu):
             P_new = P_new + FxuT[u][:, None, :] * K_rows[u][None, :, :]
             p_new = p_new + FxuT[u] * kff_rows[u]
+        # EXPLICIT per-stage symmetrization, matching the XLA path
+        # (qp_ipm.py `P = sym(...)`). Every contraction here exploits
+        # P = P' (PA/PB products, _mv_t(P, .), the forward loop's
+        # _mv_t(Pn, .)), so skipping sym() lets asymmetric roundoff
+        # compound along the recursion — harmless at the reference
+        # horizon but fatal at long ones (measured rocket QP exit KKT,
+        # pallas vs riccati: N=15 equal 6.5e-5; N=30 1.4e-3 vs 1.3e-4;
+        # N=60 6.5e-2 vs 3.4e-4 with 1/8 QPs converging —
+        # tools/pallas_n60_qp_probe.py). Transpose = one _mm_rows with
+        # one-hot columns (sublane slicing is unsupported): ~1/5 of the
+        # stage's existing matmul work.
         P_ref[...] = P_new
+        if _SYM:
+            # transpose into PA_ref (dead at this point in the stage) so the
+            # sym adds NO scoped-VMEM: a fresh (nx, nx, bt) temporary pushed
+            # the N=60 program from 128.0M (at the cap) to 133.6M (OOM)
+            iota0 = jax.lax.broadcasted_iota(jnp.int32, (nx, bt), 0)
+            PA_ref[...] = _mm_rows(
+                lambda l: P_ref[l],
+                lambda l: (iota0 == l).astype(dtype),
+                nx, (nx, nx, bt), dtype,
+            )
+            P_ref[...] = 0.5 * (P_ref[...] + PA_ref[...])
         return p_new
 
     jax.lax.fori_loop(0, N, bwd, p0)
@@ -332,9 +362,16 @@ def _common_specs(N, nx, nu, b_tile):
     }
 
 
-def _eff_tile(b_tile, Bc):
+def _eff_tile(b_tile, Bc, N=1):
     """Shrink the lane tile for tiny batches (interpret-mode tests);
-    production batches (>= 128) always use full 128-lane tiles."""
+    production batches (>= 128) always use full 128-lane tiles. (The lane
+    tile CANNOT shrink below 128 for large batches — Mosaic requires the
+    minormost block dim to be a multiple of 128 or the full array — so the
+    long-horizon VMEM budget is managed by keeping in-kernel scratch flat
+    instead: the N=60 program sits at ~128.0M of the 128M scoped-VMEM cap,
+    and the sym() transpose reuses the dead PA_ref scratch for exactly this
+    reason.)"""
+    del N
     return min(b_tile, max(8, -(-Bc // 8) * 8))
 
 
@@ -348,7 +385,7 @@ def _factor_predictor_batched(A, B, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu, req,
     nu = B.shape[3]
     dtype = A.dtype
     nuu = nu * (nu + 1) // 2
-    b_tile = _eff_tile(b_tile, Bc)
+    b_tile = _eff_tile(b_tile, Bc, N)
     pad = (-Bc) % b_tile
     Bp = Bc + pad
     _pad_b = _make_pad_b(pad)
@@ -430,7 +467,7 @@ def _resolve_batched(A, B, fact, rbx, rbxN, rbu, req,
     dtype = A.dtype
     K, FxuT, Fuu, Fiv, Pseq = fact
     nuu = Fuu.shape[2]
-    b_tile = _eff_tile(b_tile, Bc)
+    b_tile = _eff_tile(b_tile, Bc, N)
     pad = (-Bc) % b_tile
     Bp = Bc + pad
     _pad_b = _make_pad_b(pad)
@@ -510,7 +547,9 @@ def _fallback_factor_predictor(A, B, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu, req):
         )
         K = sol[:, :nx]
         kff = sol[:, nx]
-        P = Fxx + mmh(Fxu, K)
+        # sym() matches both the kernel and qp_ipm (asymmetric roundoff
+        # compounds over long horizons; see the kernel's P update note)
+        P = sym(Fxx + mmh(Fxu, K))
         p = rbx_k + A_k.T @ w + Fxu @ kff
         return (P, p), (K, Fuu_r, Fxu, P_next, kff, p_next)
 
@@ -843,7 +882,20 @@ def _ipm_iter_kernel(
                 for u in range(nu):
                     P_new = P_new + FxuT[u][:, None, :] * K_rows[u][None, :, :]
                     p_new = p_new + FxuT[u] * kff_rows[u]
+                # explicit sym(): see the kernel-A P update note (long-
+                # horizon asymmetric-roundoff compounding). Transposes into
+                # the dead PA_ref scratch — zero extra scoped VMEM.
                 P_ref0[...] = P_new
+                if _SYM:
+                    iota0 = jax.lax.broadcasted_iota(
+                        jnp.int32, (nx, bt), 0
+                    )
+                    PA_ref[...] = _mm_rows(
+                        lambda l: P_ref0[l],
+                        lambda l: (iota0 == l).astype(dtype),
+                        nx, (nx, nx, bt), dtype,
+                    )
+                    P_ref0[...] = 0.5 * (P_ref0[...] + PA_ref[...])
                 return p_new
             else:
                 Pn = Pseq_s[k]
@@ -1066,7 +1118,7 @@ def _ipm_iter_batched(A, B, c, qx, qu, h, hf, Gx, Gu, Gf, Hx, Hu, HxN,
     ni_f = Gf.shape[0]
     dtype = A.dtype
     nuu = nu * (nu + 1) // 2
-    b_tile = _eff_tile(b_tile, Bc)
+    b_tile = _eff_tile(b_tile, Bc, N)
     pad = (-Bc) % b_tile
     Bp = Bc + pad
     _pad_b = _make_pad_b(pad)

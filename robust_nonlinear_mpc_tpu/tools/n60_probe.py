@@ -41,6 +41,19 @@ def main():
                    help="number of failing lanes to replay through the host driver")
     p.add_argument("--device", default="tpu", choices=["tpu", "cpu"])
     p.add_argument("--qp-iters", type=int, default=15)
+    # bench-stack feature toggles (default OFF = the plain riccati config):
+    # the plain config measures success 0.9995 at N=60 while the full bench
+    # stack measures 0.844 — these flags attribute the gap feature by feature
+    p.add_argument("--kkt", default="riccati",
+                   choices=["riccati", "condensed", "pallas"])
+    p.add_argument("--recycle", action="store_true")
+    p.add_argument("--warm-qp", action="store_true", dest="warm_qp")
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--adaptive", action="store_true",
+                   help="steady-state-aware IPM budget (6 steady / 15 cold)")
+    p.add_argument("--ipm-first", action="store_true", dest="ipm_first",
+                   help="bench's cheap first-iteration IPM (8 iters, tol 1e-3)")
+    p.add_argument("--soft-fallback", action="store_true", dest="soft_fallback")
     p.add_argument("--out", default="artifacts/n60_failure_fingerprint.npz")
     args = p.parse_args()
     if not args.run:
@@ -66,11 +79,28 @@ def main():
     m, solver = make_rocket_problem(args.N)
     solver.opts = solver.opts._replace(verbose=False)
     if solver.dtype == jnp.float32:
+        cold_cap = max(args.qp_iters, 15) if args.adaptive else args.qp_iters
         solver.opts = solver.opts._replace(
-            ipm=IPMOptions(max_iter=args.qp_iters, tol=3e-5, kkt="riccati"),
+            ipm=IPMOptions(max_iter=cold_cap, tol=3e-5, kkt=args.kkt),
+            adaptive_ipm_budget=(
+                (min(args.qp_iters, 6), cold_cap) if args.adaptive else None
+            ),
             sqp=SQPOptions(ipm=IPMOptions(max_iter=15, tol=3e-5),
                            tol_step=1e-4, tol_feas=1e-4, max_iter=25),
         )
+        if args.ipm_first:
+            solver.opts = solver.opts._replace(
+                ipm_first=IPMOptions(max_iter=8, tol=1e-3, kkt=args.kkt)
+            )
+    solver.opts = solver.opts._replace(
+        recycle_eta=args.recycle, streaming_response=args.streaming,
+        recycle_warm_qp=args.recycle and args.warm_qp,
+        nominal_soft_fallback=args.soft_fallback,
+    )
+    print(f"[n60] config: kkt={args.kkt} recycle={args.recycle} "
+          f"warm_qp={args.warm_qp} streaming={args.streaming} "
+          f"adaptive={args.adaptive} ipm_first={args.ipm_first} "
+          f"qp_iters={args.qp_iters}", flush=True)
 
     B, T = args.lanes, args.steps
     rng = np.random.default_rng(0)
