@@ -66,6 +66,13 @@ def main():
     # 16.3k solves/s at B=512, success 1.0, identical iteration counts),
     # "riccati" (XLA scans; the CPU default — interpret-mode Pallas on CPU
     # is only for tests) or "condensed" (scan-free research option).
+    # Long horizons: above N=30 the fused-Newton kernel automatically
+    # switches to its blockwise-N windowed path (ops/pallas_qp.py
+    # _pick_window: the stage axis becomes a sequential grid dimension, so
+    # scoped VMEM is O(window) and the r4 133.56M-vs-128M N=60 wall is
+    # gone; RNM_PALLAS_QP_WINDOW_N tunes the envelope). pallas is therefore
+    # the TPU default at every N; measured r5 on v5e: N=60 windowed pallas
+    # == riccati (identical KKT/iterations, tools/pallas_n60_qp_probe.py).
     kkt = os.environ.get("RNM_BENCH_KKT", "riccati" if on_cpu else "pallas")
     solver.opts = solver.opts._replace(ipm=solver.opts.ipm._replace(kkt=kkt))
     # Triangular column-blocked SLS kernels (block=2): +20% end-to-end on v5e
@@ -317,12 +324,14 @@ def main():
     )
 
     # p50 per-step latency for the single-instance real-time question.
-    # Opt-in (RNM_BENCH_LATENCY=1): it costs a second full compile of the
-    # unbatched program, which through this container's remote-compile
-    # tunnel can double the bench wall time. Measured value on v5e: ~31-43
-    # ms vs the 50 ms budget.
+    # Default ON since r5 (VERDICT r4 item 6: the perf record must carry
+    # numbers measured by the run that emitted it, not stale round-3
+    # constants); RNM_BENCH_LATENCY=0 skips it (saves the extra compiles of
+    # the unbatched + K-step programs through the remote-compile tunnel)
+    # and the latency fields are then emitted as null with a note.
     lat_ms = lat_p99_ms = lat_max_ms = float("nan")
-    if jax_env_int("RNM_BENCH_LATENCY", 0):
+    on_device_ms = float("nan")
+    if jax_env_int("RNM_BENCH_LATENCY", 1):
         # measured: kernel choice is irrelevant at B=1 (blocked 35.1 ms vs
         # folded 35.4 ms — dispatch-bound, variance dominates), so the probe
         # uses the same options as the throughput program
@@ -348,6 +357,35 @@ def main():
         lat_ms = 1e3 * float(np.median(lats))
         lat_p99_ms = 1e3 * float(np.percentile(lats, 99))
         lat_max_ms = 1e3 * float(np.max(lats))
+
+        # on-device per-step latency, measured by THIS run via the K-step
+        # scan regression (tools/latency_probe.py methodology, reduced to
+        # two K points): wall(K) ~= dispatch_overhead + K * device_step, so
+        # the K=1 vs K=8 slope isolates the device step from the
+        # remote-tunnel dispatch intercept.
+        def _k_prog(K):
+            def body(c, w):
+                c, out = mpc_step(c, w)
+                return c, out[6]
+
+            return jax.jit(lambda c, W: jax.lax.scan(body, c, W)), K
+
+        walls = {}
+        ck = carry1
+        for prog, K in (_k_prog(1), _k_prog(8)):
+            W = jnp.asarray(2 * rngl.random((K, m.nw)) - 1, dtype)
+            ck2, _ = prog(ck, W)  # compile + warm
+            jax.block_until_ready(ck2[0])
+            samples = []
+            for _ in range(20):
+                W = jnp.asarray(2 * rngl.random((K, m.nw)) - 1, dtype)
+                ts = time.perf_counter()
+                ck2, _ = prog(ck, W)
+                jax.block_until_ready(ck2[0])
+                samples.append(time.perf_counter() - ts)
+                ck = ck2
+            walls[K] = 1e3 * float(np.median(samples))
+        on_device_ms = (walls[8] - walls[1]) / 7.0
 
     # hardware-efficiency accounting (VERDICT r3 missing-item 3): achieved
     # FLOP/s vs chip peak, so "is it actually fast" is answerable from this
@@ -385,20 +423,22 @@ def main():
         # that sets the QP stage's wall time
         "mean_qp_iters": round(float(jnp.mean(qp_iters.astype(jnp.float32))), 2),
         "max_qp_iters": int(jnp.max(qp_iters)),
-        "single_step_latency_ms": round(lat_ms, 3) if lat_ms == lat_ms else "see BASELINE.md (25.0 p50 measured r3)",
-        "single_step_latency_p99_ms": round(lat_p99_ms, 3) if lat_p99_ms == lat_p99_ms else "see BASELINE.md (30.6 measured r3; RNM_BENCH_LATENCY=1 to re-measure)",
+        # latency fields are measured BY THIS RUN (RNM_BENCH_LATENCY defaults
+        # on since r5); null + note when disabled — never stale constants
+        "single_step_latency_ms": round(lat_ms, 3) if lat_ms == lat_ms else None,
+        "single_step_latency_p99_ms": round(lat_p99_ms, 3) if lat_p99_ms == lat_p99_ms else None,
         "single_step_latency_max_ms": round(lat_max_ms, 3) if lat_max_ms == lat_max_ms else None,
         "realtime_budget_ms": 50.0,
-        # the headline latency number is the ON-DEVICE step: 0.90 ms/step by
-        # K-step scan regression (tools/latency_probe.py, r3) = 55x inside
-        # the budget; the wall-clock p50/p99 above include this container's
-        # remote-TPU tunnel dispatch (intercept 25.4 ms, worst tunnel-window
-        # p99 48.3 ms of 50 across three r3 sessions) which a locally
+        # the headline latency number is the ON-DEVICE step, measured by this
+        # run's K=1-vs-K=8 scan regression (tools/latency_probe.py
+        # methodology); the wall-clock p50/p99 above additionally include
+        # this container's remote-TPU tunnel dispatch, which a locally
         # attached deployment does not pay
-        "on_device_step_ms": 0.90,
+        "on_device_step_ms": round(on_device_ms, 3) if on_device_ms == on_device_ms else None,
         "latency_deployment_note": (
-            "wall latency = 0.90 ms device step + remote-tunnel dispatch "
-            "(25.4 ms intercept; worst-window p99 48.3 ms measured r3)"
+            "wall latency = on_device_step_ms + host dispatch (a remote "
+            "tunnel in this container); fields are null when "
+            "RNM_BENCH_LATENCY=0 skipped the measurement this run"
         ),
         # hardware-efficiency / roofline record (flop counts from the
         # compiled executable when the backend exposes them)

@@ -61,12 +61,20 @@ def global_scenario_mesh():
 
 
 def multihost_throughput(solver, sim_steps: int, scenarios_per_device: int = 32,
-                         reps: int = 3):
+                         reps: int = 3, x_center=None, x_spread: float = 0.3):
     """Measure sharded Monte-Carlo throughput across all hosts.
 
     Returns dict with global scenarios/s and the per-device breakdown; on a
     single host this reduces to the local measurement (the scaling report
     compares this number at 1 host vs N hosts).
+
+    x_center/x_spread set the x0 ensemble x_center + x_spread * randn. With
+    the default (center = origin, spread 0.3) the ensemble is a THROUGHPUT
+    workload far outside the validated MC regime, so the returned
+    `violations` count is not a robustness statistic — pass the system's
+    validated MC center (e.g. rocket X0 with spread 0.05,
+    expe/main_monte_carlo_validation.py) to make it one. The returned dict
+    carries this caveat in `violations_note` (ADVICE/VERDICT r4).
     """
     import jax.numpy as jnp
 
@@ -81,8 +89,12 @@ def multihost_throughput(solver, sim_steps: int, scenarios_per_device: int = 32,
     # (found by tests/test_distributed_multiprocess.py)
     rng = np.random.default_rng(0)
     m = solver.m
+    center = (np.zeros(m.nx) if x_center is None
+              else np.asarray(x_center, float).reshape(-1))
+    validated_ensemble = x_center is not None
     x0s = jnp.asarray(
-        0.3 * rng.standard_normal((B, m.nx)), solver.dtype
+        center[None] + x_spread * rng.standard_normal((B, m.nx)),
+        solver.dtype,
     )
     Ws = jnp.asarray(2 * rng.random((B, sim_steps, m.nw)) - 1, solver.dtype)
 
@@ -99,4 +111,11 @@ def multihost_throughput(solver, sim_steps: int, scenarios_per_device: int = 32,
         "scenarios": B,
         "mpc_steps_per_s": B * sim_steps / dt,
         "violations": int(stats.n_violations),
+        "violations_note": (
+            "validated MC x0 ensemble" if validated_ensemble else
+            "x0 = {:.2g}*randn around the ORIGIN — a throughput workload "
+            "far outside the validated MC regime; this count is NOT a "
+            "robustness statistic (compare the MC validation artifacts "
+            "instead)".format(x_spread)
+        ),
     }

@@ -69,6 +69,15 @@ def run_config(nproc, b_per, steps, reps, port):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    # clear stale per-worker result files from previous runs BEFORE spawning:
+    # the empty-rows fallback below would otherwise silently pick up a result
+    # measured with different --scenarios-per-process/--steps/--reps if this
+    # run's workers crash before writing (ADVICE r4)
+    for i in range(nproc):
+        try:
+            os.remove(f"artifacts/.thr_{nproc}proc_p{i}.json")
+        except FileNotFoundError:
+            pass
     procs = []
     for i in range(nproc):
         cmd = ["taskset", "-c", str(i % 2), sys.executable, "-c", _WORKER,

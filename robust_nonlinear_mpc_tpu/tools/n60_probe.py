@@ -112,7 +112,24 @@ def main():
     Ws = jnp.asarray(Ws_h, solver.dtype)
 
     rollout = jax.jit(jax.vmap(build_batched_closed_loop(solver, T)))
-    logs = rollout(x0s, Ws)
+    # --soft-fallback runs the IN-VMAP soft solve, which kernel-faults on
+    # this TPU backend above a lanes x horizon envelope (~960/N lanes,
+    # bench.py fb_chunk); chunk the whole rollout inside that envelope —
+    # lanes are independent, so chunking is exact (ADVICE r4)
+    if args.soft_fallback and args.device != "cpu":
+        fb_chunk = max(16, min(128, 960 // args.N))
+    else:
+        fb_chunk = B
+    if fb_chunk >= B:
+        logs = rollout(x0s, Ws)
+    else:
+        print(f"[n60] soft-fallback on TPU: chunking {B} lanes into "
+              f"{fb_chunk}-lane dispatches (kernel-fault envelope)")
+        parts = [rollout(x0s[c : c + fb_chunk], Ws[c : c + fb_chunk])
+                 for c in range(0, B, fb_chunk)]
+        logs = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts
+        )
     jax.block_until_ready(logs.state_trajectory)
 
     succ = np.asarray(logs.success)            # (B, T)
