@@ -31,7 +31,7 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
              recycle=False, streaming=False, warm_qp=False, qp_iters=15,
              kkt="riccati", converged=False, adaptive=False, host_devices=8,
              scp_eps=None, max_iter_scp=None, chunks=1, scp_per_dispatch=2,
-             soft_fallback=False):
+             soft_fallback=False, restoration=False):
     if device == "cpu":
         # host_devices: XLA:CPU collectives run one thread per virtual
         # device and its rendezvous aborts after 40 s if the threads are
@@ -164,6 +164,11 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
     # _apply_soft_fallback), clear of the kernel-fault envelope.
     if soft_fallback:
         solver.opts = solver.opts._replace(nominal_soft_fallback=True)
+    if restoration:
+        # feasibility restoration on the inner infeasible-forward event
+        # (solvers/restoration.py) — converged-mode mitigation for the
+        # transient class the reference simply aborts on
+        solver.opts = solver.opts._replace(feasibility_restoration=True)
 
     mesh = scenario_mesh()
     n_dev = mesh.devices.size
@@ -250,11 +255,14 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         n_scenarios=sum(s.n_scenarios for s in stats_list),
         n_violations=sum(s.n_violations for s in stats_list),
         worst_margin=max(s.worst_margin for s in stats_list),
-        # mean over successful lanes, weighted by each chunk's success count
+        # mean over successful lanes, weighted by each chunk's success count;
+        # a chunk with ZERO successful lanes reports mean_cost=NaN, and
+        # NaN * 0 would poison the total — skip those chunks explicitly
         mean_cost=sum(
             s.mean_cost * (s.n_scenarios - s.n_failed_lanes)
             for s in stats_list
-        ) / max(n_ok_total, 1),
+            if s.n_scenarios - s.n_failed_lanes > 0
+        ) / max(n_ok_total, 1) if n_ok_total else float("nan"),
         n_failed_lanes=sum(s.n_failed_lanes for s in stats_list),
     )
 
@@ -312,6 +320,7 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         "recycle": bool(recycle),
         "adaptive": bool(adaptive),
         "converged": bool(converged),
+        "restoration": bool(restoration),
         "streaming": bool(streaming),
         "warm_qp": bool(recycle and warm_qp),
         "scenarios": B,
@@ -370,6 +379,7 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         + ("_streaming" if streaming else "")
         + ("_warmqp" if (recycle and warm_qp) else "")
         + ("_converged" if converged else "")
+        + ("_restoration" if restoration else "")
         + ("_adaptive" if adaptive else "")
     )
     return save_results(FOLDER, tag, results)
@@ -412,6 +422,12 @@ if __name__ == "__main__":
     p.add_argument("--scp-eps", type=float, default=None, dest="scp_eps",
                    help="override the converged-mode SCP delta criterion "
                         "(default: 1e-3 f32 / 1e-8 f64)")
+    p.add_argument("--restoration", action="store_true",
+                   help="feasibility restoration: on an inner infeasible-"
+                        "forward event, solve the tightened QP with soft "
+                        "slacks and continue SCP instead of failing the "
+                        "step (converged-mode mitigation; "
+                        "solvers/restoration.py)")
     p.add_argument("--soft-fallback", action="store_true", dest="soft_fallback",
                    help="soft-slack cold-start fallback for failed hard-SQP "
                         "nominals (host-chunked in converged mode — the "
@@ -432,4 +448,5 @@ if __name__ == "__main__":
                  adaptive=args.adaptive, host_devices=args.host_devices,
                  scp_eps=args.scp_eps, max_iter_scp=args.max_iter_scp,
                  chunks=args.chunks, scp_per_dispatch=args.scp_per_dispatch,
-                 soft_fallback=args.soft_fallback)
+                 soft_fallback=args.soft_fallback,
+                 restoration=args.restoration)

@@ -207,6 +207,8 @@ def make_mpc_step(solver: SCPSLSSolver):
             zero_bx = jnp.full((N + 1, m.nx), jnp.nan, solver.dtype)
             zero_bu = jnp.full((N, m.nu), jnp.nan, solver.dtype)
 
+            restore = bool(getattr(solver.opts, "feasibility_restoration", False))
+
             def scp_once(st):
                 X, U, persist, bx, bu, qpi, it, done, failed = st
                 res = solver._iteration(X, U, x, persist)
@@ -214,8 +216,20 @@ def make_mpc_step(solver: SCPSLSSolver):
                     jnp.isfinite(res.U)
                 )
                 ok = res.success & finite
-                X = jnp.where(ok, res.X, X)
-                U = jnp.where(ok, res.U, U)
+                if restore:
+                    # feasibility restoration: on an inner failure, accept
+                    # the soft-slacked iterate and KEEP ITERATING instead of
+                    # failing the step (solvers/restoration.py). Restored
+                    # iterates never satisfy the convergence branch below,
+                    # so step success semantics are unchanged.
+                    rest = (~ok) & res.rest_ok
+                    X = jnp.where(ok, res.X, jnp.where(rest, res.X_rest, X))
+                    U = jnp.where(ok, res.U, jnp.where(rest, res.U_rest, U))
+                    fail_now = ~(ok | rest)
+                else:
+                    X = jnp.where(ok, res.X, X)
+                    U = jnp.where(ok, res.U, U)
+                    fail_now = ~ok
                 persist = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(ok, new, old),
                     res.persist, persist,
@@ -224,7 +238,7 @@ def make_mpc_step(solver: SCPSLSSolver):
                 bu = jnp.where(ok, res.sls.backoff_u, bu)
                 delta = jnp.max(jnp.abs(res.delta_vec))
                 return (X, U, persist, bx, bu, qpi + res.sls.qp_iters,
-                        it + 1, ok & (delta < eps), ~ok)
+                        it + 1, ok & (delta < eps), fail_now)
 
             def cond(st):
                 it, done, failed = st[6], st[7], st[8]
@@ -325,7 +339,7 @@ def build_chunked_converged_loop(
         )
         return nominal.X, nominal.U, persist0, x0, nominal.success
 
-    def _apply_soft_fallback(x0s, Xs, Us, hard_ok):
+    def _apply_soft_fallback(x0s, Xs, Us, hard_ok, sh=None):
         """Host-chunked soft-slack cold-start fallback (bench.py semantics).
 
         This driver is already a host loop, so the fallback runs OUTSIDE the
@@ -337,9 +351,17 @@ def build_chunked_converged_loop(
         128x10 converged MC has 15 lanes whose t=0 SCP fails from a
         wrong-basin hard-SQP nominal (converged_probe: first delta 10-25,
         then permanent inner failure); the fallback re-seeds exactly those.
+
+        Only the ~hard_ok lanes are solved (gathered on the host — typically
+        a handful out of hundreds), scattered back with .at[idx].set; on a
+        multi-device mesh the result is device_put back to the scenario
+        sharding `sh` so the main-loop dispatches stay sharded (ADVICE r4).
         """
         from robust_nonlinear_mpc_tpu.solvers.soft_nlp import soft_nlp_solve
 
+        idx = np.flatnonzero(~np.asarray(hard_ok))
+        if idx.size == 0:
+            return Xs, Us
         soft_j = jax.jit(jax.vmap(
             lambda x: soft_nlp_solve(
                 m, N, solver.Q, solver.R, solver.Qf, x,
@@ -352,33 +374,50 @@ def build_chunked_converged_loop(
                 X_init=Xi, U_init=Ui, opts=solver.opts.sqp,
             )
         ))
-        B = x0s.shape[0]
         fb_chunk = max(16, min(128, 960 // N))
-        Xs_l, Us_l = [], []
-        for c0 in range(0, B, fb_chunk):
-            sl = slice(c0, min(c0 + fb_chunk, B))
-            soft_b = soft_j(x0s[sl])
-            hard_b = hard_j(x0s[sl], soft_b.X, soft_b.U)
+        x0_h = np.asarray(x0s)
+        X_h, U_h = np.asarray(Xs), np.asarray(Us)
+        for c0 in range(0, idx.size, fb_chunk):
+            ii = idx[c0 : c0 + fb_chunk]
+            soft_b = soft_j(jnp.asarray(x0_h[ii], solver.dtype))
+            hard_b = hard_j(jnp.asarray(x0_h[ii], solver.dtype),
+                            soft_b.X, soft_b.U)
             fb_X = jnp.where(hard_b.success[:, None, None], hard_b.X, soft_b.X)
             fb_U = jnp.where(hard_b.success[:, None, None], hard_b.U, soft_b.U)
-            use_fb = ((~hard_ok[sl]) & soft_b.success)[:, None, None]
-            Xs_l.append(jnp.where(use_fb, fb_X, Xs[sl]))
-            Us_l.append(jnp.where(use_fb, fb_U, Us[sl]))
-        return jnp.concatenate(Xs_l, axis=0), jnp.concatenate(Us_l, axis=0)
+            use = np.asarray(soft_b.success)[:, None, None]
+            X_h[ii] = np.where(use, np.asarray(fb_X), X_h[ii])
+            U_h[ii] = np.where(use, np.asarray(fb_U), U_h[ii])
+        Xs = jnp.asarray(X_h, solver.dtype)
+        Us = jnp.asarray(U_h, solver.dtype)
+        if sh is not None:
+            Xs = jax.device_put(Xs, sh)
+            Us = jax.device_put(Us, sh)
+        return Xs, Us
 
     def scp_chunk(X, U, persist, x, bx, bu, qpi, it, done, failed):
         """Advance one lane's step-t SCP state by <= kpd iterations.
 
         Body/acceptance/convergence logic mirrors make_mpc_step's
         until-convergence branch exactly (keep in sync)."""
+        restore = bool(getattr(solver.opts, "feasibility_restoration", False))
 
         def body(st):
             X, U, persist, bx, bu, qpi, it, local, done, failed = st
             res = solver._iteration(X, U, x, persist)
             finite = jnp.all(jnp.isfinite(res.X)) & jnp.all(jnp.isfinite(res.U))
             ok = res.success & finite
-            X = jnp.where(ok, res.X, X)
-            U = jnp.where(ok, res.U, U)
+            if restore:
+                # feasibility restoration (solvers/restoration.py): accept
+                # the soft-slacked iterate on an inner failure and keep
+                # iterating; step success semantics unchanged
+                rest = (~ok) & res.rest_ok
+                X = jnp.where(ok, res.X, jnp.where(rest, res.X_rest, X))
+                U = jnp.where(ok, res.U, jnp.where(rest, res.U_rest, U))
+                fail_now = ~(ok | rest)
+            else:
+                X = jnp.where(ok, res.X, X)
+                U = jnp.where(ok, res.U, U)
+                fail_now = ~ok
             persist = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), res.persist, persist
             )
@@ -386,7 +425,7 @@ def build_chunked_converged_loop(
             bu = jnp.where(ok, res.sls.backoff_u, bu)
             delta = jnp.max(jnp.abs(res.delta_vec))
             return (X, U, persist, bx, bu, qpi + res.sls.qp_iters,
-                    it + 1, local + 1, ok & (delta < eps), ~ok)
+                    it + 1, local + 1, ok & (delta < eps), fail_now)
 
         def cond(st):
             it, local, done, failed = st[6], st[7], st[8], st[9]
@@ -440,7 +479,7 @@ def build_chunked_converged_loop(
 
         X, U, persist, x, init_ok = init_j(x0s)
         if getattr(solver.opts, "nominal_soft_fallback", False):
-            X, U = _apply_soft_fallback(x0s, X, U, init_ok)
+            X, U = _apply_soft_fallback(x0s, X, U, init_ok, sh=sh)
         logs = {k: [] for k in
                 ("x", "u0", "X", "U", "bx", "bu", "success", "qp_iters",
                  "scp_iters", "scp_failed")}

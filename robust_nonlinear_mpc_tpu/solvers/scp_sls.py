@@ -84,6 +84,16 @@ class SCPSLSOptions(NamedTuple):
     # (solve_nominal_trajectory); under vmap all lanes pay the extra
     # cold-start compute, so opt-in (MC validation enables it)
     nominal_soft_fallback: bool = False
+    # feasibility restoration (solvers/restoration.py): on an inner
+    # infeasible-forward event — the reference's abort case,
+    # fast_SLS_jit.py:302-312 — solve the tightened deviation QP with soft
+    # slacks and continue SCP from the restored iterate instead of failing
+    # the step. Never counts as success by itself (the SCP convergence
+    # criterion is unchanged), so the converged-mode guarantee is untouched.
+    # Opt-in: under jit/vmap every lane pays the extra slacked QP per SCP
+    # iteration, so it is a converged/validation-mode capability.
+    feasibility_restoration: bool = False
+    restoration_rho: float = 1e5
     refine_on_convergence: bool = False
     verbose: bool = False
     # inner fast-SLS iteration table (the reference's post-construction
@@ -102,6 +112,11 @@ class SCPIterResult(NamedTuple):
     cost_QP: jax.Array
     sls: object   # FastSLSSolution
     success: jax.Array
+    # feasibility-restoration iterate (None unless
+    # SCPSLSOptions.feasibility_restoration; see solvers/restoration.py)
+    X_rest: jax.Array = None
+    U_rest: jax.Array = None
+    rest_ok: jax.Array = None
 
 
 class SCPSLSSolver:
@@ -268,6 +283,36 @@ class SCPSLSSolver:
             + jnp.sum(X_new[N] * mv(self._Qfj, X_new[N]))
         )
 
+        X_rest = U_rest = rest_ok = None
+        if self.opts.feasibility_restoration:
+            # on the infeasible-forward event (sls.success False), a soft-
+            # slacked solve of the SAME tightened deviation QP gives the
+            # lane a usable direction instead of a frozen plan. Computed
+            # unconditionally under jit (a cond would become a select under
+            # vmap anyway); callers consume X_rest/U_rest only when
+            # ~sls.success & rest_ok.
+            from robust_nonlinear_mpc_tpu.solvers.restoration import (
+                restoration_solve,
+            )
+
+            ripm = IPMOptions(
+                max_iter=30,
+                tol=3e-5 if self.dtype == jnp.float32 else 1e-8,
+                kkt="riccati",
+            )
+            rsol = restoration_solve(
+                self.prob.stat, A, B, c, qx, qu,
+                g_res - sls.backoff, gf_res - sls.backoff_f,
+                xinit_dev, rho=self.opts.restoration_rho, ipm=ripm,
+            )
+            X_rest = X + rsol.X
+            U_rest = U + rsol.U
+            rest_ok = (
+                rsol.success
+                & jnp.all(jnp.isfinite(X_rest))
+                & jnp.all(jnp.isfinite(U_rest))
+            )
+
         return SCPIterResult(
             X=X_new,
             U=U_new,
@@ -278,6 +323,9 @@ class SCPSLSSolver:
             cost_QP=sls.cost_nominal,
             sls=sls,
             success=sls.success,
+            X_rest=X_rest,
+            U_rest=U_rest,
+            rest_ok=rest_ok,
         )
 
     def _warm_shift(self, X, U):
@@ -375,6 +423,20 @@ class SCPSLSSolver:
             res = self._iter_jit(self._X, self._U, x0, self._persist)
             last_success = bool(res.success)
             if not last_success:
+                if (
+                    self.opts.feasibility_restoration
+                    and res.rest_ok is not None
+                    and bool(res.rest_ok)
+                ):
+                    # feasibility restoration: continue SCP from the
+                    # soft-slacked iterate instead of aborting (the
+                    # capability the reference lacks at its own abort
+                    # event, fast_SLS_jit.py:302-312). The restored step
+                    # never satisfies the convergence branch by itself.
+                    self._X, self._U = res.X_rest, res.U_rest
+                    if self.opts.verbose:
+                        print(f"{ii:>10} feasibility restoration step")
+                    continue
                 break
             self._X, self._U = res.X, res.U
             self._persist = res.persist
