@@ -264,9 +264,14 @@ def _factor_predictor_kernel(
         # stage's existing matmul work.
         P_ref[...] = P_new
         if _SYM:
-            # transpose into PA_ref (dead at this point in the stage) so the
-            # sym adds NO scoped-VMEM: a fresh (nx, nx, bt) temporary pushed
-            # the N=60 program from 128.0M (at the cap) to 133.6M (OOM)
+            # transpose into PA_ref (dead at this point in the stage) instead
+            # of a fresh (nx, nx, bt) temporary. Measured compile accounting
+            # (ADVICE r4 reconciliation): the reuse helps at N<=30 shapes but
+            # does NOT rescue N=60 x B=512 — that program still reports
+            # 133.56M vs the 128M scoped-VMEM cap post-sym (it sat at 128.0M
+            # pre-sym; Mosaic's accounting did not credit the dead-scratch
+            # reuse at that shape). The honest N=60 bench path is
+            # RNM_BENCH_KKT=riccati until blockwise-N windowing lands.
             iota0 = jax.lax.broadcasted_iota(jnp.int32, (nx, bt), 0)
             PA_ref[...] = _mm_rows(
                 lambda l: P_ref[l],
@@ -382,6 +387,13 @@ def _factor_predictor_batched(A, B, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu, req,
     fact = (K (Bc,N,nu,nx), FxuT (Bc,N,nu,nx), Fuu_tri (Bc,N,nuu),
     Fiv_tri (Bc,N,nuu), Pseq (Bc,N,nx,nx))."""
     Bc, N, nx, _ = A.shape
+    window = _pick_window(N)
+    if window < N:
+        # long horizon: blockwise-N windowed path (O(window) scoped VMEM)
+        return _factor_predictor_batched_win(
+            A, B, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu, req,
+            window, b_tile=b_tile, interpret=interpret,
+        )
     nu = B.shape[3]
     dtype = A.dtype
     nuu = nu * (nu + 1) // 2
@@ -463,6 +475,12 @@ def _factor_predictor_batched(A, B, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu, req,
 def _resolve_batched(A, B, fact, rbx, rbxN, rbu, req,
                      b_tile=128, interpret=False):
     Bc, N, nx, _ = A.shape
+    window = _pick_window(N)
+    if window < N:
+        return _resolve_batched_win(
+            A, B, fact, rbx, rbxN, rbu, req,
+            window, b_tile=b_tile, interpret=interpret,
+        )
     nu = B.shape[3]
     dtype = A.dtype
     K, FxuT, Fuu, Fiv, Pseq = fact
@@ -512,6 +530,422 @@ def _resolve_batched(A, B, fact, rbx, rbxN, rbu, req,
     )(*args)
     unl = lambda x: jnp.moveaxis(x, -1, 0)[:Bc]
     return unl(out[0]), unl(out[1]), unl(out[2])
+
+
+# ----------------------------------------------------------------------
+# Blockwise-N windowed kernels (long horizons).
+#
+# The single-kernel path above loads every (N, d0, d1, bt) operand whole
+# per lane tile, so its scoped VMEM grows linearly in N and the N=60 x
+# B=512 program overflows the 128M cap (133.56M measured, BASELINE.md r4).
+# Here the stage axis becomes a SEQUENTIAL grid dimension: each grid step
+# processes a `window` of stages while the Riccati carries (P, p for the
+# backward sweep; dx for the forward sweep) persist in scratch across grid
+# steps — scoped VMEM is O(window), independent of N. The natural seam is
+# backward/forward (they traverse stages in opposite orders, and one grid
+# axis has one direction), so a windowed Newton solve is two pallas_calls
+# instead of one; the extra dispatch only exists at horizons the fused
+# kernel cannot compile anyway. Math is IDENTICAL to the single-kernel
+# path (same slab ops, same sym(), same refinement) — asserted by
+# tests/test_pallas_qp.py's windowed-equivalence tests.
+# ----------------------------------------------------------------------
+_WINDOW_N_MAX = int(_os.environ.get("RNM_PALLAS_QP_WINDOW_N", "30"))
+
+
+def _pick_window(N):
+    """Largest divisor of N that is <= _WINDOW_N_MAX (the measured
+    full-tile VMEM fit envelope). N <= the cap -> no windowing."""
+    if N <= _WINDOW_N_MAX:
+        return N
+    for w in range(_WINDOW_N_MAX, 0, -1):
+        if N % w == 0:
+            return w
+    return N
+
+
+def _factor_bwd_win_kernel(
+    At_ref,    # (Nw, nx, nx, bt) window, stages in ORIGINAL order
+    Bt_ref,    # (Nw, nx, nu, bt)
+    Cxx_ref,   # (Nw, nx, nx, bt)
+    CxuT_ref,  # (Nw, nu, nx, bt)
+    Cuu_ref,   # (Nw, nu, nu, bt)
+    PN_ref,    # (nx, nx, bt)   full (read at the first window only)
+    rbx_ref,   # (Nw, nx, bt)
+    rbxN_ref,  # (nx, bt)
+    rbu_ref,   # (Nw, nu, bt)
+    req_ref,   # (Nw, nx, bt)
+    # outputs (windowed)
+    K_ref, FxuT_ref, Fuu_ref, Fiv_ref, Pseq_ref, kff_ref, pn_ref,
+    # scratch — P_ref/p_ref are the cross-window Riccati carries
+    P_ref,     # (nx, nx, bt)
+    PA_ref,    # (nx, nx, bt)
+    PB_ref,    # (nx, nu, bt)
+    p_ref,     # (nx, bt)
+    *, Nw, nx, nu, bt,
+):
+    dtype = P_ref.dtype
+    tri = _tri(nu)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        P_ref[...] = PN_ref[...]
+        p_ref[...] = rbxN_ref[...]
+
+    def bwd(s, _):
+        k = Nw - 1 - s
+        p = p_ref[...]
+        P = P_ref[...]
+        Pseq_ref[k] = P
+        pn_ref[k] = p
+
+        PA_ref[...] = _mm_rows(
+            lambda l: P_ref[l], lambda l: At_ref[k, l],
+            nx, (nx, nx, bt), dtype,
+        )
+        PB_ref[...] = _mm_rows(
+            lambda l: P_ref[l], lambda l: Bt_ref[k, l],
+            nx, (nx, nu, bt), dtype,
+        )
+        Fxx = Cxx_ref[k] + _mm_rows(
+            lambda l: At_ref[k, l], lambda l: PA_ref[l],
+            nx, (nx, nx, bt), dtype,
+        )
+        FxuT = CxuT_ref[k] + _mm_rows(
+            lambda l: Bt_ref[k, l], lambda l: PA_ref[l],
+            nx, (nu, nx, bt), dtype,
+        )
+        Fuu = Cuu_ref[k] + _mm_rows(
+            lambda l: Bt_ref[k, l], lambda l: PB_ref[l],
+            nx, (nu, nu, bt), dtype,
+        )
+        FxuT_ref[k] = FxuT
+
+        req_k = req_ref[k]
+        w = p + _mv_t(P, req_k)
+        f_u = rbu_ref[k] + _mv_t(Bt_ref[k], w)
+
+        Hc = _sym_slabs(Fuu, nu)
+        Fiv = _spd_inv_slabs(Hc, nu)
+        Fuu_ref[k] = jnp.concatenate([Hc[uv] for uv in tri], axis=0)
+        Fiv_ref[k] = jnp.concatenate([Fiv[uv] for uv in tri], axis=0)
+
+        K_rows = _refined_rows(Hc, Fiv, [FxuT[u] for u in range(nu)], nu)
+        K_rows = [-r for r in K_rows]
+        fu_rows = [_slab(f_u, u, nu) for u in range(nu)]
+        kff_rows = _refined_rows(Hc, Fiv, fu_rows, nu)
+        kff_rows = [-r for r in kff_rows]
+        K_ref[k] = jnp.concatenate([r[None] for r in K_rows], axis=0)
+        kff_ref[k] = jnp.concatenate(kff_rows, axis=0)
+
+        P_new = Fxx
+        p_new = rbx_ref[k] + _mv_t(At_ref[k], w)
+        for u in range(nu):
+            P_new = P_new + FxuT[u][:, None, :] * K_rows[u][None, :, :]
+            p_new = p_new + FxuT[u] * kff_rows[u]
+        P_ref[...] = P_new
+        if _SYM:
+            # same per-stage symmetrization as the single kernel (see its
+            # note); PA_ref is dead here too
+            iota0 = jax.lax.broadcasted_iota(jnp.int32, (nx, bt), 0)
+            PA_ref[...] = _mm_rows(
+                lambda l: P_ref[l],
+                lambda l: (iota0 == l).astype(dtype),
+                nx, (nx, nx, bt), dtype,
+            )
+            P_ref[...] = 0.5 * (P_ref[...] + PA_ref[...])
+        p_ref[...] = p_new
+        return 0
+
+    jax.lax.fori_loop(0, Nw, bwd, 0)
+
+
+def _resolve_bwd_win_kernel(
+    At_ref, Bt_ref,
+    FxuT_ref,  # (Nw, nu, nx, bt)
+    Fuu_ref,   # (Nw, nuu, bt)
+    Fiv_ref,   # (Nw, nuu, bt)
+    Pseq_ref,  # (Nw, nx, nx, bt)
+    rbx_ref, rbxN_ref, rbu_ref, req_ref,
+    # outputs (windowed)
+    kff_ref, pn_ref,
+    # scratch
+    p_ref,     # (nx, bt) cross-window carry
+    *, Nw, nx, nu, bt,
+):
+    tri = _tri(nu)
+    nuu = len(tri)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        p_ref[...] = rbxN_ref[...]
+
+    def bwd(s, _):
+        k = Nw - 1 - s
+        p = p_ref[...]
+        pn_ref[k] = p
+        Pn = Pseq_ref[k]
+        w = p + _mv_t(Pn, req_ref[k])
+        f_u = rbu_ref[k] + _mv_t(Bt_ref[k], w)
+        fuu_k = Fuu_ref[k]
+        fiv_k = Fiv_ref[k]
+        Hc = {uv: _slab(fuu_k, i, nuu) for i, uv in enumerate(tri)}
+        Fiv = {uv: _slab(fiv_k, i, nuu) for i, uv in enumerate(tri)}
+        fu_rows = [_slab(f_u, u, nu) for u in range(nu)]
+        kff_rows = _refined_rows(Hc, Fiv, fu_rows, nu)
+        kff_rows = [-r for r in kff_rows]
+        kff_ref[k] = jnp.concatenate(kff_rows, axis=0)
+        p_new = rbx_ref[k] + _mv_t(At_ref[k], w)
+        FxuT = FxuT_ref[k]
+        for u in range(nu):
+            p_new = p_new + FxuT[u] * kff_rows[u]
+        p_ref[...] = p_new
+        return 0
+
+    jax.lax.fori_loop(0, Nw, bwd, 0)
+
+
+def _newton_fwd_win_kernel(
+    AtT_ref,   # (Nw, nx, nx, bt)
+    BtT_ref,   # (Nw, nu, nx, bt)
+    req_ref,   # (Nw, nx, bt)
+    K_ref,     # (Nw, nu, nx, bt)
+    kff_ref,   # (Nw, nu, bt)
+    Pseq_ref,  # (Nw, nx, nx, bt)
+    pn_ref,    # (Nw, nx, bt)
+    # outputs
+    dXh_ref,   # (Nw, nx, bt) windowed head rows of dX
+    dU_ref,    # (Nw, nu, bt)
+    dnu_ref,   # (Nw, nx, bt)
+    dxN_ref,   # (nx, bt) full — the last window's final dx wins
+    # scratch
+    dx_ref,    # (nx, bt) cross-window carry
+    *, Nw, nx, nu, bt,
+):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    def fwd(k, _):
+        dx = dx_ref[...]
+        Kk = K_ref[k]
+        kffk = kff_ref[k]
+        du_rows = [
+            jnp.sum(Kk[u] * dx, axis=0, keepdims=True) + _slab(kffk, u, nu)
+            for u in range(nu)
+        ]
+        dxn = _mv_t(AtT_ref[k], dx) + req_ref[k]
+        BtT = BtT_ref[k]
+        for u in range(nu):
+            dxn = dxn + BtT[u] * du_rows[u]
+        Pn = Pseq_ref[k]
+        dnu = -(_mv_t(Pn, dxn) + pn_ref[k])
+        dXh_ref[k] = dx
+        dU_ref[k] = jnp.concatenate(du_rows, axis=0)
+        dnu_ref[k] = dnu
+        dx_ref[...] = dxn
+        return 0
+
+    jax.lax.fori_loop(0, Nw, fwd, 0)
+    dxN_ref[...] = dx_ref[...]
+
+
+def _win_specs(N, window, nx, nu, b_tile, reverse):
+    """BlockSpec builders for the windowed calls. `reverse` maps window
+    index wi to stage block (backward sweeps consume windows from the
+    end)."""
+    nw = N // window
+    blk = (lambda bi, wi: (nw - 1 - wi,)) if reverse else (lambda bi, wi: (wi,))
+
+    def win4(d0, d1):
+        return pl.BlockSpec(
+            (window, d0, d1, b_tile), lambda bi, wi: blk(bi, wi) + (0, 0, bi)
+        )
+
+    def win3(d0):
+        return pl.BlockSpec(
+            (window, d0, b_tile), lambda bi, wi: blk(bi, wi) + (0, bi)
+        )
+
+    full3 = lambda d0, d1: pl.BlockSpec(
+        (d0, d1, b_tile), lambda bi, wi: (0, 0, bi)
+    )
+    full2 = lambda d0: pl.BlockSpec((d0, b_tile), lambda bi, wi: (0, bi))
+    return win4, win3, full3, full2
+
+
+def _factor_predictor_batched_win(A, B, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu,
+                                  req, window, b_tile=128, interpret=False):
+    """Windowed twin of _factor_predictor_batched (two pallas_calls)."""
+    Bc, N, nx, _ = A.shape
+    nu = B.shape[3]
+    dtype = A.dtype
+    nuu = nu * (nu + 1) // 2
+    b_tile = _eff_tile(b_tile, Bc, N)
+    pad = (-Bc) % b_tile
+    Bp = Bc + pad
+    _pad_b = _make_pad_b(pad)
+
+    At_l = _pad_b(_lanes(A))
+    AtT_l = _pad_b(_lanes(jnp.swapaxes(A, 2, 3)))
+    Bt_l = _pad_b(_lanes(B))
+    BtT_l = _pad_b(_lanes(jnp.swapaxes(B, 2, 3)))
+    Cxx_l = _pad_b(_lanes(Cxx))
+    CxuT_l = _pad_b(_lanes(jnp.swapaxes(Cxu, 2, 3)))
+    Cuu_l = _pad_b(_lanes(Cuu))
+    PN_l = _pad_b(_lanes(PN))
+    rbx_l = _pad_b(_lanes(rbx))
+    rbxN_l = _pad_b(_lanes(rbxN))
+    rbu_l = _pad_b(_lanes(rbu))
+    req_l = _pad_b(_lanes(req))
+    if pad:
+        eye_u = jnp.zeros((N, nu, nu, Bp), dtype) + jnp.eye(nu, dtype=dtype)[
+            None, :, :, None
+        ]
+        mask = (jnp.arange(Bp) >= Bc)[None, None, None, :]
+        Cuu_l = jnp.where(mask, eye_u, Cuu_l)
+
+    nw = N // window
+    win4, win3, full3, full2 = _win_specs(N, window, nx, nu, b_tile, True)
+    kern = functools.partial(
+        _factor_bwd_win_kernel, Nw=window, nx=nx, nu=nu, bt=b_tile
+    )
+    K_l, FxuT_l, Fuu_l, Fiv_l, Pseq_l, kff_l, pn_l = pl.pallas_call(
+        kern,
+        grid=(Bp // b_tile, nw),
+        in_specs=[
+            win4(nx, nx), win4(nx, nu), win4(nx, nx), win4(nu, nx),
+            win4(nu, nu), full3(nx, nx), win3(nx), full2(nx), win3(nu),
+            win3(nx),
+        ],
+        out_specs=[
+            win4(nu, nx), win4(nu, nx), win3(nuu), win3(nuu),
+            win4(nx, nx), win3(nu), win3(nx),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nu, nx, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nu, nx, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nuu, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nuu, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nx, nx, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nu, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nx, Bp), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nx, nx, b_tile), dtype),
+            pltpu.VMEM((nx, nx, b_tile), dtype),
+            pltpu.VMEM((nx, nu, b_tile), dtype),
+            pltpu.VMEM((nx, b_tile), dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(At_l, Bt_l, Cxx_l, CxuT_l, Cuu_l, PN_l, rbx_l, rbxN_l, rbu_l, req_l)
+
+    dX, dU, dnu = _fwd_win_call(
+        AtT_l, BtT_l, req_l, K_l, kff_l, Pseq_l, pn_l,
+        N, nx, nu, window, Bp, b_tile, dtype, interpret,
+    )
+    unl = lambda x: jnp.moveaxis(x, -1, 0)[:Bc]
+    return (
+        unl(dX), unl(dU), unl(dnu),
+        (unl(K_l), unl(FxuT_l), unl(Fuu_l), unl(Fiv_l), unl(Pseq_l)),
+    )
+
+
+def _fwd_win_call(AtT_l, BtT_l, req_l, K_l, kff_l, Pseq_l, pn_l,
+                  N, nx, nu, window, Bp, b_tile, dtype, interpret):
+    """Windowed forward sweep on lane-layout operands -> lane-layout
+    (dX (N+1, nx, Bp), dU, dnu)."""
+    nw = N // window
+    win4, win3, full3, full2 = _win_specs(N, window, nx, nu, b_tile, False)
+    kern = functools.partial(
+        _newton_fwd_win_kernel, Nw=window, nx=nx, nu=nu, bt=b_tile
+    )
+    dXh, dU, dnu, dxN = pl.pallas_call(
+        kern,
+        grid=(Bp // b_tile, nw),
+        in_specs=[
+            win4(nx, nx), win4(nu, nx), win3(nx),
+            win4(nu, nx), win3(nu), win4(nx, nx), win3(nx),
+        ],
+        out_specs=[win3(nx), win3(nu), win3(nx), full2(nx)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nx, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nu, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nx, Bp), dtype),
+            jax.ShapeDtypeStruct((nx, Bp), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((nx, b_tile), dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(AtT_l, BtT_l, req_l, K_l, kff_l, Pseq_l, pn_l)
+    dX = jnp.concatenate([dXh, dxN[None]], axis=0)
+    return dX, dU, dnu
+
+
+def _resolve_batched_win(A, B, fact, rbx, rbxN, rbu, req, window,
+                         b_tile=128, interpret=False):
+    """Windowed twin of _resolve_batched (two pallas_calls)."""
+    Bc, N, nx, _ = A.shape
+    nu = B.shape[3]
+    dtype = A.dtype
+    K, FxuT, Fuu, Fiv, Pseq = fact
+    nuu = Fuu.shape[2]
+    b_tile = _eff_tile(b_tile, Bc, N)
+    pad = (-Bc) % b_tile
+    Bp = Bc + pad
+    _pad_b = _make_pad_b(pad)
+    At_l = _pad_b(_lanes(A))
+    AtT_l = _pad_b(_lanes(jnp.swapaxes(A, 2, 3)))
+    Bt_l = _pad_b(_lanes(B))
+    BtT_l = _pad_b(_lanes(jnp.swapaxes(B, 2, 3)))
+    K_l = _pad_b(_lanes(K))
+    FxuT_l = _pad_b(_lanes(FxuT))
+    Fuu_l = _pad_b(_lanes(Fuu))
+    Fiv_l = _pad_b(_lanes(Fiv))
+    Pseq_l = _pad_b(_lanes(Pseq))
+    rbx_l = _pad_b(_lanes(rbx))
+    rbxN_l = _pad_b(_lanes(rbxN))
+    rbu_l = _pad_b(_lanes(rbu))
+    req_l = _pad_b(_lanes(req))
+
+    nw = N // window
+    win4, win3, full3, full2 = _win_specs(N, window, nx, nu, b_tile, True)
+    kern = functools.partial(
+        _resolve_bwd_win_kernel, Nw=window, nx=nx, nu=nu, bt=b_tile
+    )
+    kff_l, pn_l = pl.pallas_call(
+        kern,
+        grid=(Bp // b_tile, nw),
+        in_specs=[
+            win4(nx, nx), win4(nx, nu),
+            win4(nu, nx), win3(nuu), win3(nuu), win4(nx, nx),
+            win3(nx), full2(nx), win3(nu), win3(nx),
+        ],
+        out_specs=[win3(nu), win3(nx)],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nu, Bp), dtype),
+            jax.ShapeDtypeStruct((N, nx, Bp), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((nx, b_tile), dtype)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(At_l, Bt_l, FxuT_l, Fuu_l, Fiv_l, Pseq_l, rbx_l, rbxN_l, rbu_l, req_l)
+
+    dX, dU, dnu = _fwd_win_call(
+        AtT_l, BtT_l, req_l, K_l, kff_l, Pseq_l, pn_l,
+        N, nx, nu, window, Bp, b_tile, dtype, interpret,
+    )
+    unl = lambda x: jnp.moveaxis(x, -1, 0)[:Bc]
+    return unl(dX), unl(dU), unl(dnu)
 
 
 # ----------------------------------------------------------------------

@@ -197,3 +197,67 @@ def test_solve_qp_kkt_pallas_iter_full_ipm():
     s1 = solve_qp(stat, d0, o_i)
     assert bool(s1.success)
     np.testing.assert_allclose(np.asarray(s1.X), np.asarray(sol_r.X[0]), atol=1e-7)
+
+
+@pytest.mark.parametrize("window", [2, 3])
+def test_windowed_newton_matches_single_kernel(window):
+    """Blockwise-N windowed kernels (long-horizon VMEM fix) produce the
+    SAME Newton solve as the single-kernel path: the stage axis becomes a
+    sequential grid dimension with the Riccati carries (P, p, dx) persisted
+    in scratch across windows."""
+    from robust_nonlinear_mpc_tpu.ops.pallas_qp import (
+        _factor_predictor_batched_win,
+        _resolve_batched_win,
+    )
+
+    nu = 2
+    probs = [_mk(nu, 40 + b) for b in range(Bc)]
+    batch = lambda xs: jnp.stack(xs)
+    A_b = batch([p[1].A for p in probs])
+    B_b = batch([p[1].B for p in probs])
+    Cs = [_curvature(p[0], p[2], p[3]) for p in probs]
+    Cxx, Cuu, Cxu, PN = (batch([c[i] for c in Cs]) for i in range(4))
+    rbx, rbxN, rbu, req = (
+        batch([p[4][i] for p in probs]) for i in range(4)
+    )
+
+    ref = _factor_predictor_batched(
+        A_b, B_b, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu, req,
+        b_tile=4, interpret=True,
+    )
+    win = _factor_predictor_batched_win(
+        A_b, B_b, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu, req,
+        window, b_tile=4, interpret=True,
+    )
+    for r, w in zip(ref[:3], win[:3]):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(r), atol=1e-10)
+    for r, w in zip(ref[3], win[3]):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(r), atol=1e-10)
+
+    rng = np.random.default_rng(7)
+    rbx2 = jnp.asarray(rng.standard_normal((Bc, N, nx)))
+    rbxN2 = jnp.asarray(rng.standard_normal((Bc, nx)))
+    rbu2 = jnp.asarray(rng.standard_normal((Bc, N, nu)))
+    ref2 = _resolve_batched(
+        A_b, B_b, ref[3], rbx2, rbxN2, rbu2, req, b_tile=4, interpret=True
+    )
+    win2 = _resolve_batched_win(
+        A_b, B_b, ref[3], rbx2, rbxN2, rbu2, req, window,
+        b_tile=4, interpret=True,
+    )
+    for r, w in zip(ref2, win2):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(r), atol=1e-10)
+
+
+def test_windowed_dispatch_threshold(monkeypatch):
+    """_factor_predictor_batched auto-routes to the windowed path above the
+    fit envelope (the N>30 guard that replaced the RNM_BENCH_KKT=riccati
+    workaround)."""
+    import robust_nonlinear_mpc_tpu.ops.pallas_qp as pq
+
+    assert pq._pick_window(15) == 15
+    assert pq._pick_window(30) == 30
+    assert pq._pick_window(60) == 30
+    assert pq._pick_window(45) == 15
+    monkeypatch.setattr(pq, "_WINDOW_N_MAX", 20)
+    assert pq._pick_window(60) == 20
