@@ -31,7 +31,7 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
              recycle=False, streaming=False, warm_qp=False, qp_iters=15,
              kkt="riccati", converged=False, adaptive=False, host_devices=8,
              scp_eps=None, max_iter_scp=None, chunks=1, scp_per_dispatch=2,
-             soft_fallback=False, restoration=False):
+             soft_fallback=False, restoration=False, qp_tol=None):
     if device == "cpu":
         # host_devices: XLA:CPU collectives run one thread per virtual
         # device and its rendezvous aborts after 40 s if the threads are
@@ -130,16 +130,23 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
     if solver.dtype == jnp.float32:
         # --qp-iters validates robustness at a bounded IPM budget (the bench
         # caps the vmapped while_loop at 6 so the batch never pays a 7-15
-        # iteration outlier lane; capped lanes are accepted when finite)
+        # iteration outlier lane; capped lanes are accepted when finite).
+        # --qp-tol: the converged mode's SCP delta criterion (eps 1e-3)
+        # cannot be reached by lanes whose QP solution noise exceeds it —
+        # at tol 3e-5 the primal noise on the rocket's u-scale ~7 is
+        # ~1e-3, exactly where the boundary-riding lanes stall (delta
+        # 1.0-3.3e-3, converged_probe). Tightening the QP tol lowers the
+        # floor at the cost of more IPM iterations.
+        tol = float(qp_tol) if qp_tol is not None else 3e-5
         if adaptive:
             # steady-state-aware budget: cold lanes at 15, steady at qp_iters
             solver.opts = solver.opts._replace(
-                ipm=IPMOptions(max_iter=15, tol=3e-5, kkt=kkt),
+                ipm=IPMOptions(max_iter=15, tol=tol, kkt=kkt),
                 adaptive_ipm_budget=(int(qp_iters), 15),
             )
         else:
             solver.opts = solver.opts._replace(
-                ipm=IPMOptions(max_iter=int(qp_iters), tol=3e-5, kkt=kkt)
+                ipm=IPMOptions(max_iter=int(qp_iters), tol=tol, kkt=kkt)
             )
         solver.opts = solver.opts._replace(
             sqp=SQPOptions(ipm=IPMOptions(max_iter=15, tol=3e-5),
@@ -397,6 +404,10 @@ if __name__ == "__main__":
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--warm-qp", action="store_true", dest="warm_qp")
     p.add_argument("--qp-iters", type=int, default=15, dest="qp_iters")
+    p.add_argument("--qp-tol", type=float, default=None, dest="qp_tol",
+                   help="IPM KKT tolerance (f32 default 3e-5). Converged "
+                        "mode: tighten (e.g. 1e-5) so the QP solution-noise "
+                        "floor sits below the SCP delta criterion")
     p.add_argument("--adaptive", action="store_true",
                    help="steady-state-aware IPM budget (qp_iters steady / 15 cold)")
     p.add_argument("--converged", action="store_true",
@@ -449,4 +460,4 @@ if __name__ == "__main__":
                  scp_eps=args.scp_eps, max_iter_scp=args.max_iter_scp,
                  chunks=args.chunks, scp_per_dispatch=args.scp_per_dispatch,
                  soft_fallback=args.soft_fallback,
-                 restoration=args.restoration)
+                 restoration=args.restoration, qp_tol=args.qp_tol)

@@ -376,7 +376,8 @@ def build_chunked_converged_loop(
         ))
         fb_chunk = max(16, min(128, 960 // N))
         x0_h = np.asarray(x0s)
-        X_h, U_h = np.asarray(Xs), np.asarray(Us)
+        # np.array (copy): np.asarray on a jax array yields a READ-ONLY view
+        X_h, U_h = np.array(Xs), np.array(Us)
         for c0 in range(0, idx.size, fb_chunk):
             ii = idx[c0 : c0 + fb_chunk]
             soft_b = soft_j(jnp.asarray(x0_h[ii], solver.dtype))

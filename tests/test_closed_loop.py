@@ -320,3 +320,38 @@ def test_chunked_converged_multidevice_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(sharded.backoff_x), np.asarray(ref.backoff_x), atol=1e-10
     )
+
+
+def test_chunked_converged_soft_fallback_rescues_failed_init():
+    """The host-chunked soft fallback's GATHER/SCATTER path (only failed
+    lanes solved, results scattered back — ADVICE r4): cripple the hard SQP
+    so cold-start init fails on every lane, and check the fallback re-seeds
+    them with the soft solution (finite trajectories, not frozen zeros)."""
+    from robust_nonlinear_mpc_tpu.sim.closed_loop import (
+        build_chunked_converged_loop,
+    )
+    from robust_nonlinear_mpc_tpu.ops.qp_ipm import IPMOptions
+    from robust_nonlinear_mpc_tpu.solvers.sqp import SQPOptions
+
+    steps, B = 1, 3
+    m, solver = _pendulum_solver(rti=-1, inner=0, N=8)
+    # 1 SQP iteration at an unreachable tolerance -> hard init reports
+    # failure on every lane; the soft fallback (own default opts) succeeds
+    solver.opts = solver.opts._replace(
+        epsilon_convergence=1e-6, max_iter_scp=8, verbose=False,
+        nominal_soft_fallback=True,
+        sqp=SQPOptions(ipm=IPMOptions(max_iter=1, tol=1e-14),
+                       tol_step=1e-14, tol_feas=1e-14, max_iter=1),
+    )
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(
+        np.array([0.5, 0.5, 0.0, 0.0])[None] + 0.1 * rng.standard_normal((B, 4))
+    )
+    Ws = jnp.asarray(2 * rng.random((B, steps, m.nw)) - 1)
+    logs = build_chunked_converged_loop(solver, steps)(x0s, Ws)
+    assert np.isfinite(np.asarray(logs.state_trajectory)).all()
+    # the re-seeded nominal must actually start at each lane's x0 (a frozen
+    # zero plan would not)
+    np.testing.assert_allclose(
+        np.asarray(logs.nominal_x)[:, 0, 0], np.asarray(x0s), atol=2e-1
+    )
