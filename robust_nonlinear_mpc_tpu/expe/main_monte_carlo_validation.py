@@ -31,7 +31,8 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
              recycle=False, streaming=False, warm_qp=False, qp_iters=15,
              kkt="riccati", converged=False, adaptive=False, host_devices=8,
              scp_eps=None, max_iter_scp=None, chunks=1, scp_per_dispatch=2,
-             soft_fallback=False, restoration=False, qp_tol=None):
+             soft_fallback=False, restoration=False, qp_tol=None,
+             stall_damping=0.0):
     if device == "cpu":
         # host_devices: XLA:CPU collectives run one thread per virtual
         # device and its rendezvous aborts after 40 s if the threads are
@@ -176,6 +177,12 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         # (solvers/restoration.py) — converged-mode mitigation for the
         # transient class the reference simply aborts on
         solver.opts = solver.opts._replace(feasibility_restoration=True)
+    if stall_damping:
+        # boundary-riding limit-cycle mitigation: damped step acceptance
+        # after 15 SCP iterations (SCPSLSOptions.scp_stall_damping)
+        solver.opts = solver.opts._replace(
+            scp_stall_damping=float(stall_damping)
+        )
 
     mesh = scenario_mesh()
     n_dev = mesh.devices.size
@@ -433,6 +440,11 @@ if __name__ == "__main__":
     p.add_argument("--scp-eps", type=float, default=None, dest="scp_eps",
                    help="override the converged-mode SCP delta criterion "
                         "(default: 1e-3 f32 / 1e-8 f64)")
+    p.add_argument("--stall-damping", type=float, default=0.0,
+                   dest="stall_damping",
+                   help="converged mode: damped step acceptance (alpha) "
+                        "after 15 SCP iterations — collapses boundary-"
+                        "riding limit cycles (0 = off)")
     p.add_argument("--restoration", action="store_true",
                    help="feasibility restoration: on an inner infeasible-"
                         "forward event, solve the tightened QP with soft "
@@ -460,4 +472,5 @@ if __name__ == "__main__":
                  scp_eps=args.scp_eps, max_iter_scp=args.max_iter_scp,
                  chunks=args.chunks, scp_per_dispatch=args.scp_per_dispatch,
                  soft_fallback=args.soft_fallback,
-                 restoration=args.restoration, qp_tol=args.qp_tol)
+                 restoration=args.restoration, qp_tol=args.qp_tol,
+                 stall_damping=args.stall_damping)

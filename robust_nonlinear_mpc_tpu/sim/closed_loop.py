@@ -208,6 +208,8 @@ def make_mpc_step(solver: SCPSLSSolver):
             zero_bu = jnp.full((N, m.nu), jnp.nan, solver.dtype)
 
             restore = bool(getattr(solver.opts, "feasibility_restoration", False))
+            damp = float(getattr(solver.opts, "scp_stall_damping", 0.0))
+            damp_after = int(getattr(solver.opts, "stall_damping_after", 15))
 
             def scp_once(st):
                 X, U, persist, bx, bu, qpi, it, done, failed = st
@@ -216,6 +218,17 @@ def make_mpc_step(solver: SCPSLSSolver):
                     jnp.isfinite(res.U)
                 )
                 ok = res.success & finite
+                if damp > 0.0:
+                    # stall damping (SCPSLSOptions.scp_stall_damping):
+                    # damped acceptance after the stall threshold collapses
+                    # the boundary-riding limit cycle toward its center
+                    alpha = jnp.where(it >= damp_after, damp, 1.0).astype(
+                        solver.dtype
+                    )
+                    X_acc = X + alpha * (res.X - X)
+                    U_acc = U + alpha * (res.U - U)
+                else:
+                    X_acc, U_acc = res.X, res.U
                 if restore:
                     # feasibility restoration: on an inner failure, accept
                     # the soft-slacked iterate and KEEP ITERATING instead of
@@ -223,12 +236,12 @@ def make_mpc_step(solver: SCPSLSSolver):
                     # iterates never satisfy the convergence branch below,
                     # so step success semantics are unchanged.
                     rest = (~ok) & res.rest_ok
-                    X = jnp.where(ok, res.X, jnp.where(rest, res.X_rest, X))
-                    U = jnp.where(ok, res.U, jnp.where(rest, res.U_rest, U))
+                    X = jnp.where(ok, X_acc, jnp.where(rest, res.X_rest, X))
+                    U = jnp.where(ok, U_acc, jnp.where(rest, res.U_rest, U))
                     fail_now = ~(ok | rest)
                 else:
-                    X = jnp.where(ok, res.X, X)
-                    U = jnp.where(ok, res.U, U)
+                    X = jnp.where(ok, X_acc, X)
+                    U = jnp.where(ok, U_acc, U)
                     fail_now = ~ok
                 persist = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(ok, new, old),
@@ -401,23 +414,34 @@ def build_chunked_converged_loop(
         Body/acceptance/convergence logic mirrors make_mpc_step's
         until-convergence branch exactly (keep in sync)."""
         restore = bool(getattr(solver.opts, "feasibility_restoration", False))
+        damp = float(getattr(solver.opts, "scp_stall_damping", 0.0))
+        damp_after = int(getattr(solver.opts, "stall_damping_after", 15))
 
         def body(st):
             X, U, persist, bx, bu, qpi, it, local, done, failed = st
             res = solver._iteration(X, U, x, persist)
             finite = jnp.all(jnp.isfinite(res.X)) & jnp.all(jnp.isfinite(res.U))
             ok = res.success & finite
+            if damp > 0.0:
+                # stall damping: see make_mpc_step's until-convergence branch
+                alpha = jnp.where(it >= damp_after, damp, 1.0).astype(
+                    solver.dtype
+                )
+                X_acc = X + alpha * (res.X - X)
+                U_acc = U + alpha * (res.U - U)
+            else:
+                X_acc, U_acc = res.X, res.U
             if restore:
                 # feasibility restoration (solvers/restoration.py): accept
                 # the soft-slacked iterate on an inner failure and keep
                 # iterating; step success semantics unchanged
                 rest = (~ok) & res.rest_ok
-                X = jnp.where(ok, res.X, jnp.where(rest, res.X_rest, X))
-                U = jnp.where(ok, res.U, jnp.where(rest, res.U_rest, U))
+                X = jnp.where(ok, X_acc, jnp.where(rest, res.X_rest, X))
+                U = jnp.where(ok, U_acc, jnp.where(rest, res.U_rest, U))
                 fail_now = ~(ok | rest)
             else:
-                X = jnp.where(ok, res.X, X)
-                U = jnp.where(ok, res.U, U)
+                X = jnp.where(ok, X_acc, X)
+                U = jnp.where(ok, U_acc, U)
                 fail_now = ~ok
             persist = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), res.persist, persist

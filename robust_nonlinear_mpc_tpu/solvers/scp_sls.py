@@ -94,6 +94,16 @@ class SCPSLSOptions(NamedTuple):
     # iteration, so it is a converged/validation-mode capability.
     feasibility_restoration: bool = False
     restoration_rho: float = 1e5
+    # converged-mode stall damping: after `stall_damping_after` SCP
+    # iterations in one step, accept X <- X + alpha * step instead of the
+    # full step (alpha = scp_stall_damping; 0 disables). Targets the
+    # measured boundary-riding limit cycle (converged_probe: lanes
+    # oscillating between near-degenerate active-set vertices at delta
+    # 1-3.3e-3, just above eps 1e-3) — damping contracts a two-cycle toward
+    # its center while leaving cleanly-converging lanes untouched (they
+    # finish before the threshold). Unbiased at the fixpoint (step -> 0).
+    scp_stall_damping: float = 0.0
+    stall_damping_after: int = 15
     refine_on_convergence: bool = False
     verbose: bool = False
     # inner fast-SLS iteration table (the reference's post-construction

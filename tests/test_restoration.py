@@ -114,6 +114,9 @@ def test_converged_loop_with_restoration_smoke():
     solver.opts = solver.opts._replace(
         verbose=False, epsilon_convergence=1e-6, max_iter_scp=10,
         sls_max_iter=20, feasibility_restoration=True,
+        # stall damping compiles/vmaps with restoration; on cleanly-
+        # converging lanes (these) it must not disturb convergence
+        scp_stall_damping=0.5, stall_damping_after=6,
     )
     run = build_chunked_converged_loop(solver, 2, scp_per_dispatch=2)
     rng = np.random.default_rng(0)
