@@ -216,10 +216,11 @@ def main():
                 X_init=Xi, U_init=Ui, opts=solver.opts.sqp,
             )
         ))
-        # chunk size scales down with N — the backend's fault envelope is
-        # roughly a lanes x horizon product (measured: 128 lanes ok at
-        # N<=30, 34 faults at N=60, 16 ok at N=60)
-        fb_chunk = jax_env_int("RNM_BENCH_FB_CHUNK", max(16, min(128, 960 // N)))
+        from robust_nonlinear_mpc_tpu.solvers.soft_nlp import (
+            soft_fallback_chunk,
+        )
+
+        fb_chunk = jax_env_int("RNM_BENCH_FB_CHUNK", soft_fallback_chunk(N))
         Xs_l, Us_l = [], []
         for c0 in range(0, B, fb_chunk):
             sl = slice(c0, min(c0 + fb_chunk, B))
@@ -385,7 +386,11 @@ def main():
                 samples.append(time.perf_counter() - ts)
                 ck = ck2
             walls[K] = 1e3 * float(np.median(samples))
-        on_device_ms = (walls[8] - walls[1]) / 7.0
+        slope = (walls[8] - walls[1]) / 7.0
+        # the slope is a difference of two tunnel-noisy medians: in a bad
+        # dispatch-jitter window it can come out non-positive — emit null
+        # (field stays honest) rather than a negative "latency"
+        on_device_ms = slope if slope > 0 else float("nan")
 
     # hardware-efficiency accounting (VERDICT r3 missing-item 3): achieved
     # FLOP/s vs chip peak, so "is it actually fast" is answerable from this

@@ -153,6 +153,12 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
             sqp=SQPOptions(ipm=IPMOptions(max_iter=15, tol=3e-5),
                            tol_step=1e-4, tol_feas=1e-4, max_iter=25)
         )
+    elif qp_tol is not None:
+        # f64 path: apply the override to the default IPM options instead of
+        # silently ignoring it (the f32 branch consumes it above)
+        solver.opts = solver.opts._replace(
+            ipm=solver.opts.ipm._replace(tol=float(qp_tol))
+        )
 
     # throughput modes: dual-recycling RTI (one QP per step) and/or the
     # streaming fused response (no Phi materialization — required for very
@@ -335,6 +341,11 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         "adaptive": bool(adaptive),
         "converged": bool(converged),
         "restoration": bool(restoration),
+        "soft_fallback": bool(soft_fallback),
+        "qp_tol": float(qp_tol) if qp_tol is not None else -1.0,
+        "stall_damping": float(stall_damping),
+        "qp_iters": int(qp_iters),
+        "max_iter_scp_override": int(max_iter_scp) if max_iter_scp is not None else -1,
         "streaming": bool(streaming),
         "warm_qp": bool(recycle and warm_qp),
         "scenarios": B,
@@ -393,7 +404,11 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         + ("_streaming" if streaming else "")
         + ("_warmqp" if (recycle and warm_qp) else "")
         + ("_converged" if converged else "")
+        + ("_softfb" if soft_fallback else "")
         + ("_restoration" if restoration else "")
+        + (f"_damp{stall_damping:g}" if stall_damping else "")
+        + (f"_qptol{qp_tol:g}" if qp_tol is not None else "")
+        + (f"_cap{max_iter_scp}" if max_iter_scp is not None else "")
         + ("_adaptive" if adaptive else "")
     )
     return save_results(FOLDER, tag, results)

@@ -553,14 +553,16 @@ _WINDOW_N_MAX = int(_os.environ.get("RNM_PALLAS_QP_WINDOW_N", "30"))
 
 
 def _pick_window(N):
-    """Largest divisor of N that is <= _WINDOW_N_MAX (the measured
-    full-tile VMEM fit envelope). N <= the cap -> no windowing."""
+    """Window size for the blockwise-N path: the smallest window COUNT
+    whose window fits the measured full-tile VMEM envelope
+    (<= _WINDOW_N_MAX), i.e. w = ceil(N / ceil(N / MAX)). Non-divisor N
+    (primes included) is handled by front-padding the stage axis with
+    exact pass-through stages (A=I, B=0, C=0 — the Riccati carries P/p/dx
+    traverse them unchanged), so there is no window=1 perf cliff.
+    N <= the cap -> no windowing."""
     if N <= _WINDOW_N_MAX:
         return N
-    for w in range(_WINDOW_N_MAX, 0, -1):
-        if N % w == 0:
-            return w
-    return N
+    return -(-N // (-(-N // _WINDOW_N_MAX)))
 
 
 def _factor_bwd_win_kernel(
@@ -773,13 +775,45 @@ def _win_specs(N, window, nx, nu, b_tile, reverse):
     return win4, win3, full3, full2
 
 
+def _pad_stages_front(x, npad, fill=None):
+    """Prepend `npad` pass-through stages along axis 1 of a batch-leading
+    (Bc, N, ...) array. fill=None -> zeros; fill="eye" -> identity blocks
+    (square trailing dims). Pad stages are exact no-ops for the Riccati
+    sweeps: A=I, B=0, C*=0 (Cuu=I for the slab inverse's positive
+    definiteness), rhs=0 keep P/p/dx unchanged through them."""
+    if npad == 0:
+        return x
+    if fill == "eye":
+        n = x.shape[-1]
+        blk = jnp.broadcast_to(
+            jnp.eye(n, dtype=x.dtype), x.shape[:1] + (npad,) + x.shape[2:]
+        )
+    else:
+        blk = jnp.zeros(x.shape[:1] + (npad,) + x.shape[2:], x.dtype)
+    return jnp.concatenate([blk, x], axis=1)
+
+
 def _factor_predictor_batched_win(A, B, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu,
                                   req, window, b_tile=128, interpret=False):
     """Windowed twin of _factor_predictor_batched (two pallas_calls)."""
-    Bc, N, nx, _ = A.shape
+    Bc, N_real, nx, _ = A.shape
     nu = B.shape[3]
     dtype = A.dtype
     nuu = nu * (nu + 1) // 2
+    # front-pad the stage axis up to a multiple of the window with exact
+    # pass-through stages (see _pad_stages_front) — outputs sliced after
+    nwin = -(-N_real // window)
+    N = nwin * window
+    npad = N - N_real
+    if npad:
+        A = _pad_stages_front(A, npad, "eye")
+        B = _pad_stages_front(B, npad)
+        Cxx = _pad_stages_front(Cxx, npad)
+        Cuu = _pad_stages_front(Cuu, npad, "eye")
+        Cxu = _pad_stages_front(Cxu, npad)
+        rbx = _pad_stages_front(rbx, npad)
+        rbu = _pad_stages_front(rbu, npad)
+        req = _pad_stages_front(req, npad)
     b_tile = _eff_tile(b_tile, Bc, N)
     pad = (-Bc) % b_tile
     Bp = Bc + pad
@@ -847,7 +881,8 @@ def _factor_predictor_batched_win(A, B, Cxx, Cuu, Cxu, PN, rbx, rbxN, rbu,
         AtT_l, BtT_l, req_l, K_l, kff_l, Pseq_l, pn_l,
         N, nx, nu, window, Bp, b_tile, dtype, interpret,
     )
-    unl = lambda x: jnp.moveaxis(x, -1, 0)[:Bc]
+    # drop the pad stages (axis 1 after un-laning)
+    unl = lambda x: jnp.moveaxis(x, -1, 0)[:Bc, npad:]
     return (
         unl(dX), unl(dU), unl(dnu),
         (unl(K_l), unl(FxuT_l), unl(Fuu_l), unl(Fiv_l), unl(Pseq_l)),
@@ -891,11 +926,31 @@ def _fwd_win_call(AtT_l, BtT_l, req_l, K_l, kff_l, Pseq_l, pn_l,
 def _resolve_batched_win(A, B, fact, rbx, rbxN, rbu, req, window,
                          b_tile=128, interpret=False):
     """Windowed twin of _resolve_batched (two pallas_calls)."""
-    Bc, N, nx, _ = A.shape
+    Bc, N_real, nx, _ = A.shape
     nu = B.shape[3]
     dtype = A.dtype
     K, FxuT, Fuu, Fiv, Pseq = fact
     nuu = Fuu.shape[2]
+    nwin = -(-N_real // window)
+    N = nwin * window
+    npad = N - N_real
+    if npad:
+        A = _pad_stages_front(A, npad, "eye")
+        B = _pad_stages_front(B, npad)
+        K = _pad_stages_front(K, npad)
+        FxuT = _pad_stages_front(FxuT, npad)
+        # Fuu/Fiv pad stages = identity in upper-tri slab packing (PD for
+        # the refined solve; kff stays 0 there since f_u = 0)
+        eye_tri = jnp.asarray(
+            [1.0 if u == v else 0.0 for (u, v) in _tri(nu)], dtype
+        )
+        tri_blk = jnp.broadcast_to(eye_tri, (Bc, npad, nuu))
+        Fuu = jnp.concatenate([tri_blk, Fuu], axis=1)
+        Fiv = jnp.concatenate([tri_blk, Fiv], axis=1)
+        Pseq = _pad_stages_front(Pseq, npad)
+        rbx = _pad_stages_front(rbx, npad)
+        rbu = _pad_stages_front(rbu, npad)
+        req = _pad_stages_front(req, npad)
     b_tile = _eff_tile(b_tile, Bc, N)
     pad = (-Bc) % b_tile
     Bp = Bc + pad
@@ -944,7 +999,7 @@ def _resolve_batched_win(A, B, fact, rbx, rbxN, rbu, req, window,
         AtT_l, BtT_l, req_l, K_l, kff_l, Pseq_l, pn_l,
         N, nx, nu, window, Bp, b_tile, dtype, interpret,
     )
-    unl = lambda x: jnp.moveaxis(x, -1, 0)[:Bc]
+    unl = lambda x: jnp.moveaxis(x, -1, 0)[:Bc, npad:]
     return unl(dX), unl(dU), unl(dnu)
 
 

@@ -132,6 +132,39 @@ def run_closed_loop(
     }
 
 
+def _accept_until_conv(X, U, res, it, restore, damp, damp_after):
+    """Shared until-convergence acceptance: finite-gate + stall damping +
+    feasibility restoration. make_mpc_step's scp_once and the chunked
+    driver's scp_chunk body MUST run identical acceptance (the bit-for-bit
+    equivalence contract of build_chunked_converged_loop) — one helper
+    makes divergence impossible. Returns (X, U, ok, fail_now)."""
+    finite = jnp.all(jnp.isfinite(res.X)) & jnp.all(jnp.isfinite(res.U))
+    ok = res.success & finite
+    if damp > 0.0:
+        # stall damping (SCPSLSOptions.scp_stall_damping): damped
+        # acceptance after the stall threshold collapses the
+        # boundary-riding active-set limit cycle toward its center
+        alpha = jnp.where(it >= damp_after, damp, 1.0).astype(X.dtype)
+        X_acc = X + alpha * (res.X - X)
+        U_acc = U + alpha * (res.U - U)
+    else:
+        X_acc, U_acc = res.X, res.U
+    if restore:
+        # feasibility restoration (solvers/restoration.py): on an inner
+        # failure, accept the soft-slacked iterate and KEEP ITERATING
+        # instead of failing the step; restored iterates never satisfy the
+        # convergence branch, so step success semantics are unchanged
+        rest = (~ok) & res.rest_ok
+        X = jnp.where(ok, X_acc, jnp.where(rest, res.X_rest, X))
+        U = jnp.where(ok, U_acc, jnp.where(rest, res.U_rest, U))
+        fail_now = ~(ok | rest)
+    else:
+        X = jnp.where(ok, X_acc, X)
+        U = jnp.where(ok, U_acc, U)
+        fail_now = ~ok
+    return X, U, ok, fail_now
+
+
 # ----------------------------------------------------------------------
 # Fully-jitted batched closed loop
 # ----------------------------------------------------------------------
@@ -214,35 +247,9 @@ def make_mpc_step(solver: SCPSLSSolver):
             def scp_once(st):
                 X, U, persist, bx, bu, qpi, it, done, failed = st
                 res = solver._iteration(X, U, x, persist)
-                finite = jnp.all(jnp.isfinite(res.X)) & jnp.all(
-                    jnp.isfinite(res.U)
+                X, U, ok, fail_now = _accept_until_conv(
+                    X, U, res, it, restore, damp, damp_after
                 )
-                ok = res.success & finite
-                if damp > 0.0:
-                    # stall damping (SCPSLSOptions.scp_stall_damping):
-                    # damped acceptance after the stall threshold collapses
-                    # the boundary-riding limit cycle toward its center
-                    alpha = jnp.where(it >= damp_after, damp, 1.0).astype(
-                        solver.dtype
-                    )
-                    X_acc = X + alpha * (res.X - X)
-                    U_acc = U + alpha * (res.U - U)
-                else:
-                    X_acc, U_acc = res.X, res.U
-                if restore:
-                    # feasibility restoration: on an inner failure, accept
-                    # the soft-slacked iterate and KEEP ITERATING instead of
-                    # failing the step (solvers/restoration.py). Restored
-                    # iterates never satisfy the convergence branch below,
-                    # so step success semantics are unchanged.
-                    rest = (~ok) & res.rest_ok
-                    X = jnp.where(ok, X_acc, jnp.where(rest, res.X_rest, X))
-                    U = jnp.where(ok, U_acc, jnp.where(rest, res.U_rest, U))
-                    fail_now = ~(ok | rest)
-                else:
-                    X = jnp.where(ok, X_acc, X)
-                    U = jnp.where(ok, U_acc, U)
-                    fail_now = ~ok
                 persist = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(ok, new, old),
                     res.persist, persist,
@@ -370,7 +377,10 @@ def build_chunked_converged_loop(
         multi-device mesh the result is device_put back to the scenario
         sharding `sh` so the main-loop dispatches stay sharded (ADVICE r4).
         """
-        from robust_nonlinear_mpc_tpu.solvers.soft_nlp import soft_nlp_solve
+        from robust_nonlinear_mpc_tpu.solvers.soft_nlp import (
+            soft_fallback_chunk,
+            soft_nlp_solve,
+        )
 
         idx = np.flatnonzero(~np.asarray(hard_ok))
         if idx.size == 0:
@@ -387,20 +397,28 @@ def build_chunked_converged_loop(
                 X_init=Xi, U_init=Ui, opts=solver.opts.sqp,
             )
         ))
-        fb_chunk = max(16, min(128, 960 // N))
+        fb_chunk = soft_fallback_chunk(N)
         x0_h = np.asarray(x0s)
         # np.array (copy): np.asarray on a jax array yields a READ-ONLY view
         X_h, U_h = np.array(Xs), np.array(Us)
         for c0 in range(0, idx.size, fb_chunk):
             ii = idx[c0 : c0 + fb_chunk]
-            soft_b = soft_j(jnp.asarray(x0_h[ii], solver.dtype))
-            hard_b = hard_j(jnp.asarray(x0_h[ii], solver.dtype),
+            # pad the gather to the FIXED chunk size (repeat the last lane)
+            # so the solvers always see one (fb_chunk, ...) shape — a
+            # variable-size gather recompiles per distinct failed-lane
+            # count (and each remote compile is minutes on this backend)
+            n_real = ii.size
+            ii_p = (np.concatenate([ii, np.full(fb_chunk - n_real, ii[-1])])
+                    if n_real < fb_chunk else ii)
+            soft_b = soft_j(jnp.asarray(x0_h[ii_p], solver.dtype))
+            hard_b = hard_j(jnp.asarray(x0_h[ii_p], solver.dtype),
                             soft_b.X, soft_b.U)
             fb_X = jnp.where(hard_b.success[:, None, None], hard_b.X, soft_b.X)
             fb_U = jnp.where(hard_b.success[:, None, None], hard_b.U, soft_b.U)
-            use = np.asarray(soft_b.success)[:, None, None]
-            X_h[ii] = np.where(use, np.asarray(fb_X), X_h[ii])
-            U_h[ii] = np.where(use, np.asarray(fb_U), U_h[ii])
+            use = np.asarray(soft_b.success)[:n_real, None, None]
+            ii = ii_p[:n_real]
+            X_h[ii] = np.where(use, np.asarray(fb_X)[:n_real], X_h[ii])
+            U_h[ii] = np.where(use, np.asarray(fb_U)[:n_real], U_h[ii])
         Xs = jnp.asarray(X_h, solver.dtype)
         Us = jnp.asarray(U_h, solver.dtype)
         if sh is not None:
@@ -420,29 +438,9 @@ def build_chunked_converged_loop(
         def body(st):
             X, U, persist, bx, bu, qpi, it, local, done, failed = st
             res = solver._iteration(X, U, x, persist)
-            finite = jnp.all(jnp.isfinite(res.X)) & jnp.all(jnp.isfinite(res.U))
-            ok = res.success & finite
-            if damp > 0.0:
-                # stall damping: see make_mpc_step's until-convergence branch
-                alpha = jnp.where(it >= damp_after, damp, 1.0).astype(
-                    solver.dtype
-                )
-                X_acc = X + alpha * (res.X - X)
-                U_acc = U + alpha * (res.U - U)
-            else:
-                X_acc, U_acc = res.X, res.U
-            if restore:
-                # feasibility restoration (solvers/restoration.py): accept
-                # the soft-slacked iterate on an inner failure and keep
-                # iterating; step success semantics unchanged
-                rest = (~ok) & res.rest_ok
-                X = jnp.where(ok, X_acc, jnp.where(rest, res.X_rest, X))
-                U = jnp.where(ok, U_acc, jnp.where(rest, res.U_rest, U))
-                fail_now = ~(ok | rest)
-            else:
-                X = jnp.where(ok, X_acc, X)
-                U = jnp.where(ok, U_acc, U)
-                fail_now = ~ok
+            X, U, ok, fail_now = _accept_until_conv(
+                X, U, res, it, restore, damp, damp_after
+            )
             persist = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old), res.persist, persist
             )

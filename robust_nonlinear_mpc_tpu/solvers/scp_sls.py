@@ -448,7 +448,14 @@ class SCPSLSSolver:
                         print(f"{ii:>10} feasibility restoration step")
                     continue
                 break
-            self._X, self._U = res.X, res.U
+            damp = float(self.opts.scp_stall_damping)
+            if damp > 0.0 and ii >= int(self.opts.stall_damping_after):
+                # stall damping — keep in sync with the batched drivers
+                # (sim/closed_loop.py until-convergence acceptance)
+                self._X = self._X + damp * (res.X - self._X)
+                self._U = self._U + damp * (res.U - self._U)
+            else:
+                self._X, self._U = res.X, res.U
             self._persist = res.persist
             delta = float(jnp.max(jnp.abs(res.delta_vec)))
             if self.save_it_data:

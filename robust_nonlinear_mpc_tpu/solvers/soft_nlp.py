@@ -57,6 +57,16 @@ SOFT_SQP_OPTS = SQPOptions(
 )
 
 
+def soft_fallback_chunk(N: int) -> int:
+    """Max lanes per vmapped soft-solve dispatch on this TPU backend.
+
+    The backend kernel-faults above a lanes x horizon envelope (~960
+    measured: 128 lanes ok at N <= 30, 34 faults at N = 60, 16 ok at
+    N = 60). Single source of truth for every host-chunked fallback caller
+    (bench.py, sim.closed_loop, tools.n60_probe)."""
+    return max(16, min(128, 960 // max(int(N), 1)))
+
+
 class SoftNLPSolution(NamedTuple):
     X: jax.Array          # (N+1, nx)
     U: jax.Array          # (N, nu)

@@ -48,13 +48,16 @@ _WORKER = textwrap.dedent(
         assert n == nproc, n
 
     from robust_nonlinear_mpc_tpu.expe.main_rocket_robust_closed_loop import (
-        make_rocket_problem,
+        X0, make_rocket_problem,
     )
     m, solver = make_rocket_problem(15)
     solver.opts = solver.opts._replace(verbose=False)
 
+    # validated MC ensemble (X0 + 0.05 randn) so the artifact's violations
+    # field is a real robustness statistic (ADVICE/VERDICT r4)
     thr = multihost_throughput(
         solver, steps, scenarios_per_device=B_per, reps=reps,
+        x_center=X0, x_spread=0.05,
     )
     # file first: survives a dead parent pipe (a killed driver orphans the
     # workers and their stdout writes would SIGPIPE right at the result)

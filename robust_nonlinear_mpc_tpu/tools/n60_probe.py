@@ -117,7 +117,11 @@ def main():
     # bench.py fb_chunk); chunk the whole rollout inside that envelope —
     # lanes are independent, so chunking is exact (ADVICE r4)
     if args.soft_fallback and args.device != "cpu":
-        fb_chunk = max(16, min(128, 960 // args.N))
+        from robust_nonlinear_mpc_tpu.solvers.soft_nlp import (
+            soft_fallback_chunk,
+        )
+
+        fb_chunk = soft_fallback_chunk(args.N)
     else:
         fb_chunk = B
     if fb_chunk >= B:
@@ -125,8 +129,21 @@ def main():
     else:
         print(f"[n60] soft-fallback on TPU: chunking {B} lanes into "
               f"{fb_chunk}-lane dispatches (kernel-fault envelope)")
-        parts = [rollout(x0s[c : c + fb_chunk], Ws[c : c + fb_chunk])
-                 for c in range(0, B, fb_chunk)]
+        parts = []
+        for c in range(0, B, fb_chunk):
+            xs_c, ws_c = x0s[c : c + fb_chunk], Ws[c : c + fb_chunk]
+            n_real = xs_c.shape[0]
+            if n_real < fb_chunk:
+                # pad the ragged last chunk to the fixed shape (repeat the
+                # last lane, slice after) — a distinct shape would recompile
+                # the whole rollout through the remote-compile tunnel
+                reps = fb_chunk - n_real
+                xs_c = jnp.concatenate(
+                    [xs_c, jnp.repeat(xs_c[-1:], reps, axis=0)], axis=0)
+                ws_c = jnp.concatenate(
+                    [ws_c, jnp.repeat(ws_c[-1:], reps, axis=0)], axis=0)
+            part = rollout(xs_c, ws_c)
+            parts.append(jax.tree_util.tree_map(lambda a: a[:n_real], part))
         logs = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *parts
         )

@@ -199,12 +199,13 @@ def test_solve_qp_kkt_pallas_iter_full_ipm():
     np.testing.assert_allclose(np.asarray(s1.X), np.asarray(sol_r.X[0]), atol=1e-7)
 
 
-@pytest.mark.parametrize("window", [2, 3])
+@pytest.mark.parametrize("window", [2, 3, 4])
 def test_windowed_newton_matches_single_kernel(window):
     """Blockwise-N windowed kernels (long-horizon VMEM fix) produce the
     SAME Newton solve as the single-kernel path: the stage axis becomes a
     sequential grid dimension with the Riccati carries (P, p, dx) persisted
-    in scratch across windows."""
+    in scratch across windows. window=4 does not divide N=6 — it exercises
+    the front-padding path (pass-through pad stages)."""
     from robust_nonlinear_mpc_tpu.ops.pallas_qp import (
         _factor_predictor_batched_win,
         _resolve_batched_win,
@@ -258,6 +259,9 @@ def test_windowed_dispatch_threshold(monkeypatch):
     assert pq._pick_window(15) == 15
     assert pq._pick_window(30) == 30
     assert pq._pick_window(60) == 30
-    assert pq._pick_window(45) == 15
+    # non-divisors (incl. primes) window via front-padding — no window=1 cliff
+    assert pq._pick_window(45) == 23
+    assert pq._pick_window(59) == 30
+    assert pq._pick_window(31) == 16
     monkeypatch.setattr(pq, "_WINDOW_N_MAX", 20)
     assert pq._pick_window(60) == 20
