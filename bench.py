@@ -500,6 +500,19 @@ def main():
         "arithmetic_intensity_flop_per_byte": round(ai, 2) if ai else None,
         "roofline_ridge_flop_per_byte": round(peak_flops_bf16 / hbm_bw, 0) if not on_cpu else None,
         "flop_source": flop_source,
+        # bytes_per_solve above is XLA cost-analysis "bytes accessed": a
+        # per-HLO-op operand+result sum that counts fused VMEM-resident
+        # intermediates — an upper bound on data movement, NOT HBM traffic.
+        # Measured r5 (tools/hbm_profile.py on this exact program): true
+        # boundary traffic ~229 KB/solve = 0.9% of v5e HBM at the measured
+        # throughput, and a carry-donation A/B is null (+0.07%) — the
+        # program is dispatch/VPU-bound, not bandwidth-bound.
+        "bytes_note": (
+            "bytes_per_solve is XLA per-op accounting (fused intermediates "
+            "included); measured HBM boundary traffic is ~229 KB/solve — "
+            "0.9% of v5e bandwidth; donation A/B null; see "
+            "artifacts/hbm_profile.json"
+        ),
         "mfu_note": (
             "single-digit MFU is structural for 17x17-block MPC: blocks are "
             "far below the 128x128 MXU tile and solver-path matmuls are "
