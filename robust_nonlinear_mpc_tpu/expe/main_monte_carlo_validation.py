@@ -361,6 +361,14 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         "mean_cost": float(stats.mean_cost),          # over successful lanes
         "n_failed_lanes": int(stats.n_failed_lanes),
         # tube containment, masked by solver success (NaN-free)
+        # tube_miss_mask: per-(lane, step) one-step tube-prediction misses
+        # on successful solves — lets a reader attribute a containment dip
+        # to specific lanes (e.g. the quadrotor mitigation-ladder A/B:
+        # are the misses on the boundary lanes the ladder newly converts?)
+        "tube_miss_mask": ok_step & ~contained.all(axis=-1),
+        "tube_miss_lane_ids": np.flatnonzero(
+            (ok_step & ~contained.all(axis=-1)).any(axis=1)
+        ).astype(np.int32),
         "tube_containment_rate": containment_rate,
         "tube_containment_rate_all": containment_rate_all,
         "tube_containment_cold": float(cont_cold.mean()) if cont_cold.size else float("nan"),
