@@ -366,6 +366,10 @@ def generate(system="rocket", scenarios=256, steps=10, device="cpu", seed=0,
         # to specific lanes (e.g. the quadrotor mitigation-ladder A/B:
         # are the misses on the boundary lanes the ladder newly converts?)
         "tube_miss_mask": ok_step & ~contained.all(axis=-1),
+        # per-(lane, step) constraint violations attributable to the solver
+        # (both the producing and tube-predicting solves succeeded) — lets
+        # a reader locate the rare on-success violation exactly
+        "viol_on_success_mask": viol_on_success,
         "tube_miss_lane_ids": np.flatnonzero(
             (ok_step & ~contained.all(axis=-1)).any(axis=1)
         ).astype(np.int32),
